@@ -63,6 +63,8 @@ class ShapingConfig:
     # main15c perceptual postprocess on s_w inside the training graph
     postprocess: bool = False
     postprocess_cutoff_hz: float = 7000.0
+    # main14b_2 clamps the watermarked signal to [-1, 1] (ref: py/main14b_2.py:305)
+    clamp_watermarked: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -167,6 +169,7 @@ def _strided() -> Config:
     return Config(
         name="strided",
         model=ModelConfig(family="strided"),
+        shaping=ShapingConfig(clamp_watermarked=True),
     )
 
 

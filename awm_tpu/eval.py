@@ -1,0 +1,268 @@
+"""Evaluation suites: corpus sweeps, classifier metrics, ROC, K-fold, folders.
+
+Host-side orchestration over the batched device kernels in awm_tpu.api.
+Metric definitions are identical to the reference so quality numbers are
+directly comparable (ref: evaluate_model py/main14.py:289-340,
+evaluate_classifier py/main14.py:501-580, evaluate_unseen_file
+py/main14.py:1005-1041, ROC py/main14.py:1459-1473, K-fold
+py/main14.py:1430-1453, folder processors py/main15.py:1480-1517 and
+py/main14d.py:1052-1112).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+
+from awm_tpu.api import (
+    InferenceSession,
+    detect_array,
+    generate_watermarked_audio,
+    watermark_array,
+    _si_snr_np,
+)
+from awm_tpu.utils.audio_io import load_mono_16k, save_wav
+
+AUDIO_EXTS = (".wav", ".mp3", ".flac", ".ogg")  # ref: py/main14.py:1055-1058
+
+
+def evaluate_model(
+    session: InferenceSession,
+    batches: Iterable[np.ndarray],
+    *,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Aggregate eval over an iterable of (B, T) clean batches: detection
+    probs for watermarked/clean halves, bit accuracy via per-timestep
+    majority vote, delta RMS (ref: py/main14.py:289-340)."""
+    rng = np.random.default_rng(seed)
+    probs_wm, probs_clean, bit_accs, rms_deltas = [], [], [], []
+    for s in batches:
+        s = np.asarray(s, dtype=np.float32)
+        b = s.shape[0]
+        msgs = rng.integers(0, 2**session.message_bits, size=b).astype(np.int32)
+        out = session.embed_detect(s, msgs)  # fused, summaries only
+        probs_wm.extend(out["wm_prob"])
+        probs_clean.extend(out["clean_prob"])
+        # majority vote: sigmoid>0.5 per step -> mean over T -> >0.5
+        votes = out["msg_vote_frac"] > 0.5
+        target = ((msgs[:, None] & (1 << np.arange(session.message_bits))) > 0)
+        bit_accs.extend((votes == target).mean(axis=1))
+        rms_deltas.extend(out["delta_rms"])
+    return {
+        "watermarked_prob": float(np.mean(probs_wm)),
+        "clean_prob": float(np.mean(probs_clean)),
+        "bit_accuracy": float(np.mean(bit_accs)),
+        "delta_rms": float(np.mean(rms_deltas)),
+    }
+
+
+def evaluate_classifier(
+    session: InferenceSession,
+    batches: Iterable[np.ndarray],
+    threshold: float = 0.5,
+    *,
+    seed: int = 0,
+):
+    """Segment-level confusion matrix + classification report at a threshold
+    (ref: py/main14.py:501-580).  Returns (confusion_matrix, report_str)."""
+    from sklearn.metrics import classification_report, confusion_matrix
+
+    rng = np.random.default_rng(seed)
+    y_true, y_pred = [], []
+    for s in batches:
+        s = np.asarray(s, dtype=np.float32)
+        b = s.shape[0]
+        msgs = rng.integers(0, 2**session.message_bits, size=b).astype(np.int32)
+        out = session.embed_detect(s, msgs)
+        y_pred.extend((out["wm_prob"] > threshold).astype(int))
+        y_pred.extend((out["clean_prob"] > threshold).astype(int))
+        y_true.extend([1] * b + [0] * b)
+    cm = confusion_matrix(y_true, y_pred)
+    report = classification_report(
+        y_true, y_pred, target_names=["clean", "watermarked"], zero_division=0
+    )
+    return cm, report
+
+
+def evaluate_unseen_file(
+    path: str, session: InferenceSession, *, seed: Optional[int] = None
+) -> Optional[Dict[str, float]]:
+    """Per-file eval: embed a random message, detect on clean and
+    watermarked, SI-SNR, delta RMS, STOI (ref: py/main14.py:1005-1041;
+    PESQ/STOI variant :1141-1204).  Returns None on decode failure
+    (skip-and-count, ref: py/main14.py:1006-1009)."""
+    try:
+        wav = load_mono_16k(path, session.sample_rate)
+    except Exception:
+        return None
+    if wav.shape[-1] < 32:
+        return None
+    res = watermark_array(wav, session, seed=seed)
+    wm, delta = res["watermarked_waveform"], res["delta_waveform"]
+    prob_clean = detect_array(wav, session)["mean_probability"]
+    prob_wm = detect_array(wm, session)["mean_probability"]
+    out = {
+        "prob_clean": prob_clean,
+        "prob_watermarked": prob_wm,
+        "delta_rms": float(np.sqrt((delta**2).mean())),
+        "si_snr_db": _si_snr_np(wav, wm),
+    }
+    try:
+        from awm_tpu.dsp.stoi import stoi
+
+        out["stoi"] = stoi(wav, wm, session.sample_rate)
+    except Exception:
+        out["stoi"] = float("nan")
+    return out
+
+
+def roc_auc(labels: Sequence[int], probs: Sequence[float]):
+    """ROC curve + AUC over file-level probabilities
+    (ref: py/main14.py:1459-1473)."""
+    from sklearn.metrics import auc, roc_curve
+
+    fpr, tpr, thr = roc_curve(labels, probs)
+    return fpr, tpr, thr, auc(fpr, tpr)
+
+
+def kfold_cv(labels: Sequence[int], preds: Sequence[int], k: int = 5, seed: int = 42):
+    """K-fold CV of binary accuracy (ref: py/main14.py:1430-1453)."""
+    labels = np.asarray(labels)
+    preds = np.asarray(preds)
+    idx = np.random.default_rng(seed).permutation(len(labels))
+    folds = np.array_split(idx, k)
+    return [float((labels[f] == preds[f]).mean()) for f in folds if len(f)]
+
+
+def evaluate_corpus(
+    root: str,
+    session: InferenceSession,
+    *,
+    exts: Sequence[str] = AUDIO_EXTS,
+    max_files: Optional[int] = None,
+    seed: int = 0,
+) -> Dict:
+    """Directory sweep: per-file embed+detect, aggregate stats, confusion
+    matrix, ROC AUC, K-fold CV (ref: py/main14.py:1043-1093).  Bad files are
+    skipped and counted."""
+    files: List[str] = []
+    for ext in exts:
+        files.extend(glob.glob(os.path.join(root, "**", f"*{ext}"), recursive=True))
+    files.sort()
+    if max_files:
+        files = files[:max_files]
+
+    results, errors = [], 0
+    for i, f in enumerate(files):
+        r = evaluate_unseen_file(f, session, seed=seed + i)
+        if r is None:
+            errors += 1
+        else:
+            results.append(r)
+    if not results:
+        return {"n_files": 0, "errors": errors}
+
+    probs = [r["prob_clean"] for r in results] + [r["prob_watermarked"] for r in results]
+    labels = [0] * len(results) + [1] * len(results)
+    preds = [int(p > 0.5) for p in probs]
+    _, _, _, auc_val = roc_auc(labels, probs)
+    from sklearn.metrics import classification_report, confusion_matrix
+
+    return {
+        "n_files": len(results),
+        "errors": errors,
+        "avg_prob_clean": float(np.mean([r["prob_clean"] for r in results])),
+        "avg_prob_watermarked": float(np.mean([r["prob_watermarked"] for r in results])),
+        "avg_si_snr_db": float(np.mean([r["si_snr_db"] for r in results])),
+        "avg_delta_rms": float(np.mean([r["delta_rms"] for r in results])),
+        "accuracy": float(np.mean(np.asarray(preds) == np.asarray(labels))),
+        "auc": float(auc_val),
+        "kfold_acc": kfold_cv(labels, preds),
+        "confusion_matrix": confusion_matrix(labels, preds).tolist(),
+        "report": classification_report(
+            labels, preds, target_names=["clean", "watermarked"], zero_division=0
+        ),
+    }
+
+
+def interpret_results(accuracy: float) -> str:
+    """Heuristic verdict strings (ref: py/main14.py:1417-1424)."""
+    if accuracy >= 0.99:
+        return "Excellent: watermark detection is near-perfect."
+    if accuracy >= 0.95:
+        return "Good: watermark detection is reliable with rare errors."
+    if accuracy >= 0.85:
+        return "Fair: detection works but misclassifies a notable fraction."
+    return "Poor: detection is unreliable on this corpus."
+
+
+# -- folder batch processors (ref: py/main15.py:1480-1517, py/main14d.py:1052-1112)
+
+
+def embed_watermark_folder(
+    input_dir: str,
+    output_dir: str,
+    session: InferenceSession,
+    *,
+    prefix: str = "watermarked_",
+    exts: Sequence[str] = (".wav",),
+    seed: int = 0,
+) -> Dict:
+    """Watermark every file under input_dir, mirroring the directory tree
+    with a filename prefix; aggregates RMS / power-ratio stats."""
+    files: List[str] = []
+    for ext in exts:
+        files.extend(glob.glob(os.path.join(input_dir, "**", f"*{ext}"), recursive=True))
+    files.sort()
+    rms_vals, pr_vals, errors = [], [], 0
+    for i, f in enumerate(files):
+        rel = os.path.relpath(f, input_dir)
+        out_path = os.path.join(output_dir, os.path.dirname(rel), prefix + os.path.basename(rel))
+        try:
+            res = generate_watermarked_audio(f, session, out_path, seed=seed + i)
+            rms_vals.append(res["metrics"]["watermark_rms"])
+            pr_vals.append(res["metrics"]["power_ratio_db"])
+        except Exception:
+            errors += 1
+    return {
+        "n_files": len(files) - errors,
+        "errors": errors,
+        "avg_rms": float(np.mean(rms_vals)) if rms_vals else float("nan"),
+        "avg_power_ratio_db": float(np.mean(pr_vals)) if pr_vals else float("nan"),
+    }
+
+
+def detect_watermark_folder(
+    folder: str,
+    session: InferenceSession,
+    *,
+    threshold: float = 0.5,
+    exts: Sequence[str] = (".wav",),
+) -> Dict:
+    """Run detection over every file; returns per-file decisions + aggregate."""
+    files: List[str] = []
+    for ext in exts:
+        files.extend(glob.glob(os.path.join(folder, "**", f"*{ext}"), recursive=True))
+    files.sort()
+    per_file, errors = {}, 0
+    for f in files:
+        try:
+            r = detect_array(load_mono_16k(f, session.sample_rate), session, threshold)
+            per_file[f] = {
+                "mean_probability": r["mean_probability"],
+                "is_watermarked": r["is_watermarked"],
+            }
+        except Exception:
+            errors += 1
+    n_wm = sum(1 for v in per_file.values() if v["is_watermarked"])
+    return {
+        "per_file": per_file,
+        "n_files": len(per_file),
+        "errors": errors,
+        "n_watermarked": n_wm,
+        "fraction_watermarked": n_wm / max(1, len(per_file)),
+    }

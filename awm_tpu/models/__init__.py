@@ -1,0 +1,48 @@
+from awm_tpu.models.generator import Generator
+from awm_tpu.models.detector import Detector
+from awm_tpu.models.strided import StridedGenerator, StridedDetector
+from awm_tpu.models.messages import (
+    message_to_bits,
+    bits_to_message,
+    decode_bits_mean_logit,
+    decode_bits_majority,
+)
+
+
+def build_models(model_cfg):
+    """Instantiate the (generator, detector) pair for a ModelConfig."""
+    if model_cfg.family == "base":
+        return (
+            Generator(message_bits=model_cfg.message_bits, channels=model_cfg.channels),
+            Detector(message_bits=model_cfg.message_bits, channels=model_cfg.channels),
+        )
+    if model_cfg.family == "strided":
+        return (
+            StridedGenerator(
+                message_bits=model_cfg.message_bits,
+                base_channels=model_cfg.base_channels,
+                hidden_dim=model_cfg.hidden_dim,
+                output_channels=model_cfg.output_channels,
+                strides=tuple(model_cfg.strides),
+                lstm_layers=model_cfg.lstm_layers,
+            ),
+            StridedDetector(
+                message_bits=model_cfg.message_bits,
+                base_channels=model_cfg.base_channels,
+                strides=tuple(model_cfg.strides),
+            ),
+        )
+    raise ValueError(f"unknown model family {model_cfg.family!r}")
+
+
+__all__ = [
+    "Generator",
+    "Detector",
+    "StridedGenerator",
+    "StridedDetector",
+    "build_models",
+    "message_to_bits",
+    "bits_to_message",
+    "decode_bits_mean_logit",
+    "decode_bits_majority",
+]

@@ -1,0 +1,46 @@
+"""Generator: waveform + 16-bit message -> additive watermark delta.
+
+main14-family architecture (ref: py/main14.py:90-124):
+encoder Conv1d(1->64, k7) + 2x ResBlock(64)  ->  LSTM(64->64)  ->
++ Embedding(2^16, 64)[message] broadcast over time  ->
+decoder ConvTranspose1d(64->64, k7) + ResBlock(64) + Conv1d(64->1, k1).
+
+TPU-first differences from the reference: channels-last layout end to end
+(no permutes), the LSTM input projection hoisted to one MXU matmul, and the
+whole forward jit-compiled as part of a single train-step graph.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from awm_tpu.models.layers import Conv1d, ConvTranspose1d, Embedding, LSTM, ResBlock
+
+
+class Generator(nn.Module):
+    """Maps (B, T) waveform + (B,) integer message -> (B, T) delta."""
+
+    message_bits: int = 16
+    channels: int = 64
+    lstm_unroll: int = 16
+
+    @nn.compact
+    def __call__(self, s: jnp.ndarray, message: jnp.ndarray | None = None, *, train: bool = False):
+        x = s[..., None]  # (B, T, 1)
+        x = Conv1d(self.channels, 7, padding=3, name="enc_conv")(x)
+        x = ResBlock(self.channels, name="enc_res1")(x, train=train)
+        x = ResBlock(self.channels, name="enc_res2")(x, train=train)
+
+        x = LSTM(self.channels, unroll=self.lstm_unroll, name="lstm")(x)
+
+        if self.message_bits > 0 and message is not None:
+            emb = Embedding(2**self.message_bits, self.channels, name="embedding")(
+                message
+            )  # (B, C)
+            x = x + emb[:, None, :]  # broadcast over every timestep
+
+        x = ConvTranspose1d(self.channels, 7, padding=3, name="dec_deconv")(x)
+        x = ResBlock(self.channels, name="dec_res")(x, train=train)
+        delta = Conv1d(1, 1, name="dec_out")(x)
+        return delta[..., 0]  # (B, T)

@@ -1,0 +1,180 @@
+"""Shared flax building blocks: torch-init convs, BatchNorm ResBlock, LSTM.
+
+Channels-last (B, T, C) throughout — TPU lane-friendly.  Initializers match
+torch defaults (kaiming-uniform a=sqrt(5) == U(+-1/sqrt(fan_in)) for conv and
+linear weights AND biases; U(+-1/sqrt(H)) for LSTM; N(0,1) for embeddings) so
+training dynamics are comparable with the reference runs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from awm_tpu.ops import conv1d, conv_transpose1d, lstm_forward
+
+
+def torch_conv_init(fan_in: int):
+    """U(+-1/sqrt(fan_in)) — torch's effective Conv/Linear default."""
+    bound = 1.0 / (fan_in**0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv1d(nn.Module):
+    """torch.nn.Conv1d semantics over (B, T, C); weight (k, in, out)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        fan_in = in_ch * self.kernel_size
+        w = self.param(
+            "w", torch_conv_init(fan_in), (self.kernel_size, in_ch, self.features)
+        )
+        b = (
+            self.param("b", torch_conv_init(fan_in), (self.features,))
+            if self.use_bias
+            else None
+        )
+        return conv1d(x, w, b, stride=self.stride, padding=self.padding)
+
+
+class ConvTranspose1d(nn.Module):
+    """torch.nn.ConvTranspose1d semantics; weight (k, in, out)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    output_padding: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        # torch ConvTranspose fan_in = out_ch * k (weight shape (in, out, k)).
+        fan_in = self.features * self.kernel_size
+        w = self.param(
+            "w", torch_conv_init(fan_in), (self.kernel_size, in_ch, self.features)
+        )
+        b = self.param("b", torch_conv_init(fan_in), (self.features,))
+        return conv_transpose1d(
+            x,
+            w,
+            b,
+            stride=self.stride,
+            padding=self.padding,
+            output_padding=self.output_padding,
+        )
+
+
+class BatchNorm(nn.Module):
+    """torch.nn.BatchNorm1d over the channel axis of (B, T, C).
+
+    torch momentum 0.1 == flax momentum 0.9 (flax: ra = m*ra + (1-m)*batch).
+    The reference normalizes detector batches of concatenated
+    [watermarked; clean] examples (ref: py/main14.py:203-206) — preserved by
+    construction since stats are taken over whatever batch flows through.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            axis=-1,
+            name="bn",
+        )(x)
+
+
+class ResBlock(nn.Module):
+    """main14-family residual block: Conv-BN-ReLU-Conv-BN + skip, ReLU
+    (ref: py/main14.py:74-87)."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv1d(self.ch, 3, padding=1, name="conv1")(x)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
+        )(y)
+        y = nn.relu(y)
+        y = Conv1d(self.ch, 3, padding=1, name="conv2")(y)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2"
+        )(y)
+        return nn.relu(x + y)
+
+
+class StridedResBlock(nn.Module):
+    """main14b_2 residual block: strided conv + ELU + conv, 1x1 strided skip
+    when shape changes (ref: py/main14b_2.py:86-103)."""
+
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        downsample = self.stride != 1 or in_ch != self.features
+        y = nn.elu(
+            Conv1d(self.features, 3, stride=self.stride, padding=1, name="conv1")(x)
+        )
+        y = Conv1d(self.features, 3, padding=1, name="conv2")(y)
+        res = x
+        if downsample:
+            res = Conv1d(self.features, 1, stride=self.stride, name="skip")(x)
+        return nn.elu(y + res)
+
+
+class LSTM(nn.Module):
+    """Single-layer torch-layout LSTM over (B, T, D) -> (B, T, H)."""
+
+    hidden: int
+    unroll: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        bound = 1.0 / (self.hidden**0.5)
+
+        def uinit(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        w_ih = self.param("w_ih", uinit, (4 * self.hidden, d))
+        w_hh = self.param("w_hh", uinit, (4 * self.hidden, self.hidden))
+        # torch keeps b_ih and b_hh separately but always sums them; store one.
+        b = self.param("b", uinit, (4 * self.hidden,))
+        return lstm_forward(x, w_ih, w_hh, b, unroll=self.unroll)
+
+
+class Embedding(nn.Module):
+    """torch.nn.Embedding(num, dim) with N(0,1) init; indexed by the integer
+    message (ref: py/main14.py:103,118-121)."""
+
+    num: int
+    dim: int
+
+    @nn.compact
+    def __call__(self, idx):
+        table = self.param(
+            "table", nn.initializers.normal(stddev=1.0), (self.num, self.dim)
+        )
+        return jnp.take(table, idx, axis=0)

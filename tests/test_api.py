@@ -1,0 +1,173 @@
+"""Embed/detect API tests: chunking semantics, round-trip, folder batch
+processing (ref API contracts: py/main14.py:719-949, py/main15.py:1480-1517)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from awm_tpu import api, eval as ev
+from awm_tpu.config import get_config
+from awm_tpu import train as tr
+from awm_tpu.utils.audio_io import save_wav
+
+CHUNK = 800  # small chunk length for CPU test speed
+
+
+@pytest.fixture(scope="module")
+def session():
+    cfg = dataclasses.replace(get_config("base"), audio_len=CHUNK)
+    state, gen, det = tr.init_state(cfg, jax.random.key(0))
+    return api.InferenceSession.from_state(cfg, gen, det, state)
+
+
+@pytest.fixture(scope="module")
+def trained_session():
+    """Briefly overfit so detection actually separates."""
+    cfg = dataclasses.replace(get_config("base"), audio_len=CHUNK)
+    rng = np.random.default_rng(0)
+    t = np.arange(CHUNK) / 16000.0
+    batch = np.stack(
+        [0.3 * np.sin(2 * np.pi * f * t) + 0.02 * rng.standard_normal(CHUNK) for f in (220, 330, 440, 550)]
+    ).astype(np.float32)
+    state, gen, det = tr.init_state(cfg, jax.random.key(1))
+    tx = tr.make_optimizer(cfg)
+    key = jax.random.key(2)
+    import jax.numpy as jnp
+
+    b = jnp.asarray(batch)
+    for _ in range(120):
+        state, _ = tr.train_step(cfg, gen, det, tx, state, b, key)
+    return api.InferenceSession.from_state(cfg, gen, det, state), batch
+
+
+def test_to_chunks_padding():
+    chunks, total = api._to_chunks(np.ones(2500, np.float32), 800)
+    assert chunks.shape == (4, 800) and total == 2500
+    assert chunks[3, 100:].sum() == 0  # tail zero-padded
+    chunks, total = api._to_chunks(np.ones(1600, np.float32), 800)
+    assert chunks.shape == (2, 800)
+
+
+def test_bucket_sizes():
+    assert [api._bucket(n) for n in (1, 2, 3, 5, 9, 500, 513)] == [1, 2, 4, 8, 16, 512, 512]
+
+
+def test_watermark_array_roundtrip_shapes(session):
+    wav = np.random.default_rng(0).standard_normal(2500).astype(np.float32) * 0.1
+    res = api.watermark_array(wav, session, seed=0)
+    assert res["watermarked_waveform"].shape == (2500,)
+    assert res["delta_waveform"].shape == (2500,)
+    assert len(res["messages"]) == 4  # ceil(2500/800) chunks, fresh msg each
+    np.testing.assert_allclose(
+        res["watermarked_waveform"], wav + res["delta_waveform"], atol=1e-6
+    )
+
+
+def test_fixed_message(session):
+    wav = np.zeros(1600, np.float32)
+    res = api.watermark_array(wav, session, message=1234)
+    assert (res["messages"] == 1234).all()
+
+
+def test_detect_array_contract(session):
+    wav = np.random.default_rng(1).standard_normal(2000).astype(np.float32) * 0.1
+    r = api.detect_array(wav, session)
+    assert r["temporal_probs"].shape == (2000,)
+    assert 0.0 <= r["mean_probability"] <= 1.0
+    assert len(r["predicted_message"]) == 16
+    assert len(r["message_confidence"]) == 16
+    assert r["decision"] in ("WATERMARKED", "NOT WATERMARKED")
+
+
+def test_file_roundtrip_trained(tmp_path, trained_session):
+    """Multi-second file: watermarked detection prob must clearly exceed the
+    clean-file prob after the brief overfit."""
+    sess, batch = trained_session
+    clip = np.concatenate([batch[i % 4] for i in range(5)])  # 5 chunks
+    p = str(tmp_path / "clean.wav")
+    save_wav(p, clip, 16000)
+
+    out = str(tmp_path / "wm.wav")
+    res = api.generate_watermarked_audio(p, sess, out, seed=0)
+    assert os.path.exists(out)
+    m = res["metrics"]
+    assert np.isfinite(m["watermark_rms"]) and np.isfinite(m["si_snr_db"])
+
+    det_clean = api.detect_watermark(p, sess)
+    det_wm = api.detect_watermark(out, sess)
+    assert det_wm["mean_probability"] > det_clean["mean_probability"] + 0.15
+
+
+def test_run_inference_on_file(tmp_path, session):
+    wav = np.random.default_rng(3).standard_normal(1700).astype(np.float32) * 0.1
+    p = str(tmp_path / "x.wav")
+    save_wav(p, wav, 16000)
+    wm, prob, rms, snr = api.run_inference_on_file(p, session)
+    assert wm.shape == (1700,)
+    assert 0 <= prob <= 1 and rms > 0 and np.isfinite(snr)
+
+
+def test_save_audio_quality(tmp_path):
+    t = np.arange(16000) / 16000.0
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = str(tmp_path / "q.wav")
+    api.save_audio_quality(x, p)
+    from awm_tpu.utils.audio_io import load_audio
+
+    wav, sr = load_audio(p)
+    assert sr == 16000 and wav.shape[1] == 16000
+
+
+def test_folder_processors(tmp_path, session):
+    rng = np.random.default_rng(5)
+    in_dir = tmp_path / "in" / "sub"
+    in_dir.mkdir(parents=True)
+    for i in range(3):
+        save_wav(str(in_dir / f"c{i}.wav"), rng.standard_normal(1200).astype(np.float32) * 0.1, 16000)
+    stats = ev.embed_watermark_folder(str(tmp_path / "in"), str(tmp_path / "out"), session, seed=0)
+    assert stats["n_files"] == 3 and stats["errors"] == 0
+    assert os.path.exists(str(tmp_path / "out" / "sub" / "watermarked_c0.wav"))
+    det = ev.detect_watermark_folder(str(tmp_path / "out"), session)
+    assert det["n_files"] == 3
+
+
+def test_evaluate_model_and_classifier(session):
+    rng = np.random.default_rng(7)
+    batches = [rng.standard_normal((4, CHUNK)).astype(np.float32) * 0.1 for _ in range(2)]
+    m = ev.evaluate_model(session, batches)
+    assert set(m) == {"watermarked_prob", "clean_prob", "bit_accuracy", "delta_rms"}
+    cm, report = ev.evaluate_classifier(session, batches)
+    assert cm.sum() == 16  # 2 batches x (4 wm + 4 clean)
+    assert "watermarked" in report
+
+
+def test_evaluate_corpus(tmp_path, session):
+    rng = np.random.default_rng(9)
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for i in range(3):
+        save_wav(str(d / f"f{i}.wav"), rng.standard_normal(1700).astype(np.float32) * 0.1, 16000)
+    out = ev.evaluate_corpus(str(d), session, seed=0)
+    assert out["n_files"] == 3 and out["errors"] == 0
+    assert 0.0 <= out["auc"] <= 1.0
+    assert isinstance(ev.interpret_results(out["accuracy"]), str)
+
+
+def test_stoi_sanity(speechlike):
+    from awm_tpu.dsp.stoi import stoi
+
+    # identical signals -> ~1; heavy noise -> much lower; monotone in SNR
+    x = np.tile(speechlike, 3)  # 3 s for enough segments
+    rng = np.random.default_rng(0)
+    clean = stoi(x, x, 16000)
+    assert clean > 0.95
+    n = rng.standard_normal(len(x)).astype(np.float32)
+    sc = lambda snr_db: x + n * np.sqrt((x**2).mean() / (n**2).mean()) * 10 ** (-snr_db / 20)
+    s20 = stoi(x, sc(20), 16000)
+    s0 = stoi(x, sc(0), 16000)
+    assert clean >= s20 >= s0
+    assert s0 < 0.9
