@@ -1,0 +1,196 @@
+"""Checkpointing (orbax) + reference-.pth weight importer.
+
+Reference behaviors reproduced (SURVEY.md section 5):
+- best-model saves on val improvement (ref: py/main14.py:443-447)
+- full resumable checkpoint {epoch, step, best_val, gen, det, opt, sched}
+  written as latest every epoch and best on improvement, auto-resumed at
+  startup (ref: py/main14d.py:540-623) — here one orbax tree carrying
+  TrainState + metadata; the LR schedule is a pure function of step so no
+  separate scheduler state is needed
+- '_orig_mod.' torch.compile prefix stripping on load
+  (ref: py/main14.py:593-598)
+
+The importer maps the reference's torch state dicts (models/*.pth) onto this
+build's flax parameter trees so quality parity is checked against the
+shipped detector_best.pth (BASELINE.json bit-exactness requirement).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# orbax save/restore
+
+
+def _ckpt(path: str):
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer(), os.path.abspath(path)
+
+
+def save_checkpoint(path: str, state, *, epoch: int = 0, best_val: float = float("inf")) -> None:
+    """Write {state, epoch, best_val} at path (overwrites)."""
+    import orbax.checkpoint as ocp
+
+    ckptr, path = _ckpt(path)
+    payload = {
+        "state": state,
+        "meta": {
+            "epoch": np.asarray(epoch, np.int32),
+            "best_val": np.asarray(best_val, np.float64),
+        },
+    }
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, state_template) -> Tuple[Any, int, float]:
+    """Restore (state, epoch, best_val); state_template supplies the tree
+    structure/shapes (build it with train.init_state)."""
+    ckptr, path = _ckpt(path)
+    template = {
+        "state": state_template,
+        "meta": {
+            "epoch": np.asarray(0, np.int32),
+            "best_val": np.asarray(0.0, np.float64),
+        },
+    }
+    restored = ckptr.restore(path, template)
+    meta = restored["meta"]
+    return restored["state"], int(meta["epoch"]), float(meta["best_val"])
+
+
+def latest_path(ckpt_dir: str) -> str:
+    return os.path.join(ckpt_dir, "ckpt_latest")
+
+
+def best_path(ckpt_dir: str) -> str:
+    return os.path.join(ckpt_dir, "ckpt_best")
+
+
+def maybe_resume(ckpt_dir: str, state_template):
+    """main14d startup semantics: resume from ckpt_latest if present
+    (ref: py/main14d.py:563-572).  Returns (state, epoch, best_val, resumed)."""
+    p = latest_path(ckpt_dir)
+    if os.path.isdir(p):
+        state, epoch, best_val = restore_checkpoint(p, state_template)
+        return state, epoch, best_val, True
+    return state_template, 0, float("inf"), False
+
+
+# ---------------------------------------------------------------------------
+# torch .pth import
+
+
+def strip_prefix(state_dict: Dict[str, Any], prefix: str = "_orig_mod.") -> Dict[str, Any]:
+    """Remove the torch.compile wrapper prefix (ref: py/main14.py:593-598)."""
+    return {
+        (k[len(prefix):] if k.startswith(prefix) else k): v
+        for k, v in state_dict.items()
+    }
+
+
+def _load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = strip_prefix(sd)
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+
+def _conv(sd, key):
+    """torch Conv1d (out, in, k) -> ours (k, in, out)."""
+    return {
+        "w": jnp.asarray(np.transpose(sd[f"{key}.weight"], (2, 1, 0))),
+        "b": jnp.asarray(sd[f"{key}.bias"]),
+    }
+
+
+def _conv_t(sd, key):
+    """torch ConvTranspose1d (in, out, k) -> ours (k, in, out)."""
+    return {
+        "w": jnp.asarray(np.transpose(sd[f"{key}.weight"], (2, 0, 1))),
+        "b": jnp.asarray(sd[f"{key}.bias"]),
+    }
+
+
+def _bn(sd, key):
+    params = {
+        "scale": jnp.asarray(sd[f"{key}.weight"]),
+        "bias": jnp.asarray(sd[f"{key}.bias"]),
+    }
+    stats = {
+        "mean": jnp.asarray(sd[f"{key}.running_mean"]),
+        "var": jnp.asarray(sd[f"{key}.running_var"]),
+    }
+    return params, stats
+
+
+def _resblock(sd, key):
+    """Reference ResBlock: block.0 conv, block.1 bn, block.3 conv, block.4 bn
+    (ref: py/main14.py:74-87)."""
+    bn1_p, bn1_s = _bn(sd, f"{key}.block.1")
+    bn2_p, bn2_s = _bn(sd, f"{key}.block.4")
+    params = {
+        "conv1": _conv(sd, f"{key}.block.0"),
+        "conv2": _conv(sd, f"{key}.block.3"),
+        "bn1": bn1_p,
+        "bn2": bn2_p,
+    }
+    stats = {"bn1": bn1_s, "bn2": bn2_s}
+    return params, stats
+
+
+def import_torch_detector(path: str) -> Dict[str, Any]:
+    """models/detector_best.pth -> {'params', 'batch_stats'} for
+    awm_tpu.models.Detector (torch layout: model.0 conv-in, model.1/2
+    ResBlocks, model.3 conv-out; ref: py/main14.py:132-148)."""
+    sd = _load_torch_state_dict(path)
+    r1p, r1s = _resblock(sd, "model.1")
+    r2p, r2s = _resblock(sd, "model.2")
+    return {
+        "params": {
+            "conv_in": _conv(sd, "model.0"),
+            "res1": r1p,
+            "res2": r2p,
+            "conv_out": _conv(sd, "model.3"),
+        },
+        "batch_stats": {"res1": r1s, "res2": r2s},
+    }
+
+
+def import_torch_generator(path: str) -> Dict[str, Any]:
+    """generator_best.pth -> variables for awm_tpu.models.Generator
+    (torch layout: encoder.0 conv, encoder.1/2 ResBlocks, lstm, embedding,
+    decoder.0 ConvTranspose, decoder.1 ResBlock, decoder.2 conv;
+    ref: py/main14.py:90-124).  The snapshot ships no generator_best.pth
+    (SURVEY.md 2.4) but checkpoints from any reference run import here."""
+    sd = _load_torch_state_dict(path)
+    e1p, e1s = _resblock(sd, "encoder.1")
+    e2p, e2s = _resblock(sd, "encoder.2")
+    d1p, d1s = _resblock(sd, "decoder.1")
+    params = {
+        "enc_conv": _conv(sd, "encoder.0"),
+        "enc_res1": e1p,
+        "enc_res2": e2p,
+        "lstm": {
+            "w_ih": jnp.asarray(sd["lstm.weight_ih_l0"]),
+            "w_hh": jnp.asarray(sd["lstm.weight_hh_l0"]),
+            "b": jnp.asarray(sd["lstm.bias_ih_l0"] + sd["lstm.bias_hh_l0"]),
+        },
+        "embedding": {"table": jnp.asarray(sd["embedding.weight"])},
+        "dec_deconv": _conv_t(sd, "decoder.0"),
+        "dec_res": d1p,
+        "dec_out": _conv(sd, "decoder.2"),
+    }
+    return {
+        "params": params,
+        "batch_stats": {"enc_res1": e1s, "enc_res2": e2s, "dec_res": d1s},
+    }
