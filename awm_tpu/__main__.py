@@ -1,0 +1,276 @@
+"""Command-line interface: python -m awm_tpu <command>.
+
+The reference is a notebook collection with hand-edited constants
+(SURVEY.md section 5 "Config / flag system"); this CLI exposes every
+workflow — train, fine-tune, embed, detect, evaluate, benchmark, and the
+dataset-prep tools — over the named presets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _apply_platform(args):
+    """--platform cpu/axon/tpu: must run before any backend use.  The image's
+    sitecustomize can force a TPU plugin regardless of JAX_PLATFORMS, so the
+    CLI applies the override through jax.config."""
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+
+def _cfg_for(args):
+    from awm_tpu.config import get_config
+
+    cfg = get_config(args.preset)
+    if getattr(args, "audio_len", None):
+        cfg = dataclasses.replace(cfg, audio_len=args.audio_len)
+    return cfg
+
+
+def _load_session(args):
+    """Build an InferenceSession from --ckpt (orbax) or --torch-ckpt (.pth)."""
+    import jax
+
+    from awm_tpu import checkpoint as ck
+    from awm_tpu import train as tr
+    from awm_tpu.api import InferenceSession
+
+    cfg = _cfg_for(args)
+    state, gen, det = tr.init_state(cfg, jax.random.key(0))
+    if getattr(args, "ckpt", None):
+        state, _, _ = ck.restore_checkpoint(args.ckpt, state)
+        return InferenceSession.from_state(cfg, gen, det, state)
+    gvars = {"params": state.params["gen"], "batch_stats": state.batch_stats["gen"]}
+    dvars = {"params": state.params["det"], "batch_stats": state.batch_stats["det"]}
+    if getattr(args, "torch_generator", None):
+        gvars = ck.import_torch_generator(args.torch_generator)
+    if getattr(args, "torch_detector", None):
+        dvars = ck.import_torch_detector(args.torch_detector)
+    return InferenceSession(gen, det, gvars, dvars,
+                            message_bits=cfg.message_bits,
+                            sample_rate=cfg.sample_rate,
+                            chunk_len=cfg.audio_len)
+
+
+def cmd_embed(args):
+    from awm_tpu.api import generate_watermarked_audio
+
+    sess = _load_session(args)
+    res = generate_watermarked_audio(
+        args.input, sess, args.output, message=args.message, seed=args.seed
+    )
+    print(json.dumps({"output": args.output, **res["metrics"]}, indent=2))
+
+
+def cmd_detect(args):
+    from awm_tpu.api import detect_watermark
+
+    sess = _load_session(args)
+    r = detect_watermark(args.input, sess, args.threshold, visualize=args.visualize)
+    out = {k: r[k] for k in ("mean_probability", "is_watermarked", "decision")}
+    out["predicted_message"] = r.get("predicted_message")
+    print(json.dumps(out, indent=2))
+
+
+def cmd_train(args):
+    from awm_tpu.data import BatchLoader, OneSecClips, SyntheticClips, split_indices
+    from awm_tpu.trainer import fit
+
+    cfg = _cfg_for(args)
+    if args.epochs:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, epochs=args.epochs))
+    if args.data:
+        ds = OneSecClips(args.data, cfg.sample_rate, cfg.audio_len)
+        if not len(ds):
+            sys.exit(f"no .wav files under {args.data}")
+        tr_idx, va_idx, _ = split_indices(len(ds), (0.8, 0.1, 0.1), seed=cfg.train.seed)
+    else:
+        print("no --data given; training on synthetic clips (smoke mode)")
+        ds = SyntheticClips(n=args.synthetic_n, audio_len=cfg.audio_len)
+        tr_idx, va_idx, _ = split_indices(len(ds), (0.8, 0.1, 0.1), seed=cfg.train.seed)
+    # val keeps partial batches (drop_last=False): small validation splits
+    # would otherwise yield zero batches and silently skip validation
+    mk = lambda idx, sh: BatchLoader(
+        ds, cfg.train.batch_size, indices=idx, shuffle=sh, drop_last=sh,
+        seed=cfg.train.seed, num_workers=args.workers,
+    )
+    mesh = None
+    if args.data_parallel:
+        from awm_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model_parallel=args.model_parallel)
+    out = fit(
+        cfg, mk(tr_idx, True), mk(va_idx, False),
+        ckpt_dir=args.ckpt_dir, init_from=args.init_from, mesh=mesh,
+        log_path=args.log_csv, plot_path=args.loss_plot, seed=cfg.train.seed,
+    )
+    print(json.dumps({"best_val": out["best_val"], "epochs": len(out["history"]),
+                      "stopped_early": out["stopped_early"]}, indent=2))
+
+
+def cmd_evaluate(args):
+    from awm_tpu.eval import evaluate_corpus, interpret_results
+
+    sess = _load_session(args)
+    out = evaluate_corpus(args.data, sess, max_files=args.max_files)
+    report = out.pop("report", "")
+    print(json.dumps(out, indent=2))
+    print(report)
+    if "accuracy" in out:
+        print(interpret_results(out["accuracy"]))
+
+
+def cmd_embed_folder(args):
+    from awm_tpu.eval import embed_watermark_folder
+
+    sess = _load_session(args)
+    print(json.dumps(embed_watermark_folder(args.input, args.output, sess), indent=2))
+
+
+def cmd_detect_folder(args):
+    from awm_tpu.eval import detect_watermark_folder
+
+    sess = _load_session(args)
+    out = detect_watermark_folder(args.input, sess, threshold=args.threshold)
+    out.pop("per_file")
+    print(json.dumps(out, indent=2))
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def cmd_prep(args):
+    from awm_tpu.data import prep
+
+    if args.prep_cmd == "metadata":
+        n = prep.build_metadata(args.dir, args.output)
+        print(f"wrote {n} rows to {args.output}")
+    elif args.prep_cmd == "select":
+        n, total = prep.select_audios(
+            args.metadata, args.output, hours=args.hours, seconds=args.seconds, seed=args.seed
+        )
+        print(f"selected {n} files / {total/3600:.2f} h -> {args.output}")
+    elif args.prep_cmd == "segment":
+        files = [p for p, _ in prep.read_metadata(args.metadata)] if args.metadata else None
+        if files is None:
+            import glob as g, os as o
+
+            files = sorted(g.glob(o.path.join(args.dir, "**", "*.wav"), recursive=True))
+        n = prep.segment_to_clips(
+            files, args.output, seg_seconds=args.seconds or 1.0,
+            per_file_subdirs=args.subdirs, workers=args.workers,
+        )
+        print(f"wrote {n} clips to {args.output}")
+    elif args.prep_cmd == "classify":
+        print(json.dumps(prep.classify_folder(
+            args.dir, args.output, workers=args.workers, max_files=args.max_files
+        ), indent=2))
+    elif args.prep_cmd == "speech-only":
+        n = prep.copy_speech_only(args.list, args.output)
+        print(f"copied {n} speech files to {args.output}")
+    elif args.prep_cmd == "silent":
+        for p in prep.find_silent(args.dir, args.threshold):
+            print(p)
+    elif args.prep_cmd == "compare":
+        print(json.dumps(prep.compare_metadata(args.a, args.b), indent=2))
+
+
+def _add_session_args(p):
+    p.add_argument("--preset", default="base", help="config preset (base/light/onecycle20/quality/ft_robust/strided)")
+    p.add_argument("--audio-len", type=int, help="override chunk length in samples (default 16000)")
+    p.add_argument("--ckpt", help="orbax checkpoint path (ckpt_best/ckpt_latest dir)")
+    p.add_argument("--torch-generator", help="reference generator_best.pth to import")
+    p.add_argument("--torch-detector", help="reference detector_best.pth to import")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="awm_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("embed", help="watermark an audio file")
+    _add_session_args(p)
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--message", type=int, help="fixed 16-bit message (default: random per chunk)")
+    p.add_argument("--seed", type=int)
+    p.set_defaults(fn=cmd_embed)
+
+    p = sub.add_parser("detect", help="detect a watermark in an audio file")
+    _add_session_args(p)
+    p.add_argument("input")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--visualize", action="store_true", help="save temporal-probability plot")
+    p.set_defaults(fn=cmd_detect)
+
+    p = sub.add_parser("train", help="train generator+detector")
+    p.add_argument("--preset", default="base")
+    p.add_argument("--audio-len", type=int)
+    p.add_argument("--data", help="directory of 1-s wav clips")
+    p.add_argument("--synthetic-n", type=int, default=256)
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--ckpt-dir", default="checkpoints")
+    p.add_argument("--init-from", help="checkpoint to fine-tune from (main15c flow)")
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--data-parallel", action="store_true", help="shard over all local devices")
+    p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--log-csv", default=None)
+    p.add_argument("--loss-plot", default=None)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("evaluate", help="corpus sweep: accuracy/AUC/K-fold")
+    _add_session_args(p)
+    p.add_argument("data")
+    p.add_argument("--max-files", type=int)
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("embed-folder", help="watermark a directory tree")
+    _add_session_args(p)
+    p.add_argument("input")
+    p.add_argument("output")
+    p.set_defaults(fn=cmd_embed_folder)
+
+    p = sub.add_parser("detect-folder", help="detect over a directory tree")
+    _add_session_args(p)
+    p.add_argument("input")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.set_defaults(fn=cmd_detect_folder)
+
+    p = sub.add_parser("bench", help="clips/sec/chip benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("prep", help="dataset creation tools")
+    psub = p.add_subparsers(dest="prep_cmd", required=True)
+    q = psub.add_parser("metadata"); q.add_argument("dir"); q.add_argument("output")
+    q = psub.add_parser("select"); q.add_argument("metadata"); q.add_argument("output")
+    q.add_argument("--hours", type=float); q.add_argument("--seconds", type=float)
+    q.add_argument("--seed", type=int)
+    q = psub.add_parser("segment"); q.add_argument("output")
+    q.add_argument("--metadata"); q.add_argument("--dir")
+    q.add_argument("--seconds", type=float, default=1.0)
+    q.add_argument("--subdirs", action="store_true")
+    q.add_argument("--workers", type=int, default=8)
+    q = psub.add_parser("classify"); q.add_argument("dir"); q.add_argument("output")
+    q.add_argument("--workers", type=int, default=8); q.add_argument("--max-files", type=int)
+    q = psub.add_parser("speech-only"); q.add_argument("list"); q.add_argument("output")
+    q = psub.add_parser("silent"); q.add_argument("dir")
+    q.add_argument("--threshold", type=float, default=1e-4)
+    q = psub.add_parser("compare"); q.add_argument("a"); q.add_argument("b")
+    p.set_defaults(fn=cmd_prep)
+
+    ap.add_argument("--platform", help="force a jax platform (cpu/tpu/axon)")
+    args = ap.parse_args(argv)
+    _apply_platform(args)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

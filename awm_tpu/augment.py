@@ -1,0 +1,88 @@
+"""On-device robustness augmentations: noise, volume, lowpass, quantize,
+resample channel simulation.
+
+The reference trains robustness only via main15c's lowpass+quantize
+postprocess (main15c.ipynb cell 4); BASELINE.json's configs additionally
+call for on-device noise/resample/volume augmentations.  All transforms here
+are jit-safe, differentiable where meaningful, and driven by a jax PRNG key
+so they run inside the training graph (no host round-trip per batch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from awm_tpu.dsp import fir_lowpass, lowpass_biquad, quantize_int16
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """Which channel attacks to simulate during training, with ranges."""
+
+    noise_snr_db: Optional[Tuple[float, float]] = None  # e.g. (20., 40.)
+    volume_range: Optional[Tuple[float, float]] = None  # e.g. (0.3, 1.2)
+    lowpass_hz: Optional[float] = None  # e.g. 7000.0
+    quantize: bool = False
+    resample_hz: Optional[int] = None  # e.g. 8000 (down-up round trip)
+    sample_rate: int = 16000
+
+
+def add_noise(x: jnp.ndarray, key: jax.Array, snr_db_range: Tuple[float, float]) -> jnp.ndarray:
+    """Additive white noise at a per-example random SNR."""
+    k1, k2 = jax.random.split(key)
+    b = x.shape[0]
+    snr_db = jax.random.uniform(
+        k1, (b, 1), minval=snr_db_range[0], maxval=snr_db_range[1]
+    )
+    noise = jax.random.normal(k2, x.shape, x.dtype)
+    sig_rms = jnp.sqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True) + 1e-12)
+    noise_rms = jnp.sqrt(jnp.mean(jnp.square(noise), axis=-1, keepdims=True) + 1e-12)
+    gain = sig_rms / noise_rms * 10.0 ** (-snr_db / 20.0)
+    return x + noise * gain
+
+
+def random_volume(x: jnp.ndarray, key: jax.Array, vol_range: Tuple[float, float]) -> jnp.ndarray:
+    """Per-example random gain."""
+    b = x.shape[0]
+    g = jax.random.uniform(key, (b, 1), minval=vol_range[0], maxval=vol_range[1])
+    return x * g
+
+
+def resample_roundtrip(x: jnp.ndarray, target_hz: int, sample_rate: int = 16000) -> jnp.ndarray:
+    """Telephone-channel style down-up resample, on device.
+
+    Anti-alias lowpass at 0.45*target, decimate by the rational stride,
+    then linear-interpolate back to the original grid.  Static shapes,
+    differentiable, fuses with the rest of the step."""
+    assert sample_rate % target_hz == 0, "integer decimation only"
+    q = sample_rate // target_hz
+    t = x.shape[-1]
+    y = fir_lowpass(x, 0.45 * target_hz, taps=65, sample_rate=sample_rate)
+    low = y[..., ::q]  # (B, T/q)
+    # linear interp back to T points
+    pos = jnp.arange(t) / q
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, low.shape[-1] - 1)
+    frac = (pos - i0).astype(x.dtype)
+    return low[..., i0] * (1.0 - frac) + low[..., i1] * frac
+
+
+def apply_augment(x: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.ndarray:
+    """Apply the configured attack chain to (B, T) watermarked audio."""
+    if cfg.noise_snr_db is not None:
+        key, k = jax.random.split(key)
+        x = add_noise(x, k, cfg.noise_snr_db)
+    if cfg.volume_range is not None:
+        key, k = jax.random.split(key)
+        x = random_volume(x, k, cfg.volume_range)
+    if cfg.resample_hz is not None:
+        x = resample_roundtrip(x, cfg.resample_hz, cfg.sample_rate)
+    if cfg.lowpass_hz is not None:
+        x = lowpass_biquad(x, cfg.sample_rate, cfg.lowpass_hz)
+    if cfg.quantize:
+        x = quantize_int16(x)
+    return x

@@ -102,6 +102,9 @@ class Config:
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     shaping: ShapingConfig = dataclasses.field(default_factory=ShapingConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    # on-device channel-attack augmentation of s_w during training
+    # (awm_tpu.augment.AugmentConfig); None = off
+    augment: Optional[object] = None
     sample_rate: int = SAMPLE_RATE
     audio_len: int = AUDIO_LEN
     message_bits: int = 16

@@ -84,7 +84,7 @@ def init_state(
     return state, gen, det
 
 
-def _forward(cfg, gen, det, params, batch_stats, s, message, *, train: bool):
+def _forward(cfg, gen, det, params, batch_stats, s, message, *, train: bool, aug_key=None):
     """Shared generator->shaping->detector forward.  Returns
     (terms-ready tensors, new batch_stats)."""
     gkw = dict(mutable=["batch_stats"]) if train else {}
@@ -101,6 +101,10 @@ def _forward(cfg, gen, det, params, batch_stats, s, message, *, train: bool):
     if cfg.shaping.clamp_watermarked:
         s_w = jnp.clip(s_w, -1.0, 1.0)
     s_w = apply_channel(s_w, cfg.shaping, cfg.sample_rate)
+    if cfg.augment is not None and aug_key is not None:
+        from awm_tpu.augment import apply_augment
+
+        s_w = apply_augment(s_w, aug_key, cfg.augment)
 
     combined = jnp.concatenate([s_w, s], axis=0)
     dvars = {"params": params["det"], "batch_stats": batch_stats["det"]}
@@ -126,12 +130,14 @@ def train_step(
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimizer step on a (B, T) batch of clean clips."""
     b = s.shape[0]
-    msg_key = jax.random.fold_in(rng, state.step)
+    step_key = jax.random.fold_in(rng, state.step)
+    msg_key, aug_key = jax.random.split(step_key)
     message = jax.random.randint(msg_key, (b,), 0, 2**cfg.message_bits, dtype=jnp.int32)
 
     def loss_fn(params):
         delta, s_w, logits, new_bs = _forward(
-            cfg, gen, det, params, state.batch_stats, s, message, train=True
+            cfg, gen, det, params, state.batch_stats, s, message, train=True,
+            aug_key=aug_key,
         )
         terms = total_loss(
             cfg.loss,

@@ -1,0 +1,159 @@
+"""Input pipeline + trainer driver + augmentation tests."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from awm_tpu.augment import AugmentConfig, add_noise, apply_augment, resample_roundtrip
+from awm_tpu.config import get_config
+from awm_tpu.data import BatchLoader, OneSecClips, SyntheticClips, split_indices
+from awm_tpu.trainer import fit
+from awm_tpu.utils.audio_io import save_wav
+
+
+def _cfg(t=512, **kw):
+    return dataclasses.replace(get_config("base"), audio_len=t, **kw)
+
+
+# -- dataset ---------------------------------------------------------------
+
+
+def test_one_sec_clips_semantics(tmp_path, rng):
+    d = tmp_path / "wavs" / "deep"
+    d.mkdir(parents=True)
+    # long stereo 22k clip -> truncated; short mono 16k clip -> padded
+    save_wav(str(d / "long.wav"), rng.standard_normal((2, 30000)).astype(np.float32).clip(-1, 1), 22050)
+    save_wav(str(d / "short.wav"), rng.standard_normal(4000).astype(np.float32).clip(-1, 1), 16000)
+    ds = OneSecClips(str(tmp_path / "wavs"))
+    assert len(ds) == 2
+    for i in range(2):
+        x = ds[i]
+        assert x.shape == (16000,) and x.dtype == np.float32
+    # short one is zero-padded at the end
+    short = ds[[os.path.basename(p) for p in ds.filepaths].index("short.wav")]
+    assert short[4000:].sum() == 0
+
+
+def test_split_indices_deterministic():
+    a = split_indices(100, (0.8, 0.1, 0.1), seed=42)
+    b = split_indices(100, (0.8, 0.1, 0.1), seed=42)
+    assert [len(x) for x in a] == [80, 10, 10]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    all_idx = np.concatenate(a)
+    assert len(np.unique(all_idx)) == 100
+
+
+def test_batch_loader_shapes_and_shuffle():
+    ds = SyntheticClips(n=20, audio_len=256)
+    loader = BatchLoader(ds, batch_size=8, shuffle=True, seed=0, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2  # drop_last
+    assert all(b.shape == (8, 256) for b in batches)
+    # next epoch shuffles differently
+    batches2 = list(loader)
+    assert not np.allclose(batches[0], batches2[0])
+
+
+def test_batch_loader_no_drop_last():
+    ds = SyntheticClips(n=10, audio_len=128)
+    loader = BatchLoader(ds, batch_size=4, drop_last=False, shuffle=False)
+    sizes = [b.shape[0] for b in loader]
+    assert sizes == [4, 4, 2]
+
+
+# -- augment ---------------------------------------------------------------
+
+
+def test_add_noise_snr():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 8000)).astype(np.float32))
+    y = add_noise(x, jax.random.key(0), (20.0, 20.0))
+    noise = np.asarray(y - x)
+    snr = 10 * np.log10((np.asarray(x) ** 2).mean(axis=1) / (noise**2).mean(axis=1))
+    assert np.all(np.abs(snr - 20.0) < 1.0)
+
+
+def test_resample_roundtrip_lowpasses():
+    t = np.arange(16000) / 16000.0
+    hi = jnp.asarray(np.sin(2 * np.pi * 7000 * t).astype(np.float32))[None]
+    lo = jnp.asarray(np.sin(2 * np.pi * 1000 * t).astype(np.float32))[None]
+    hi_out = np.asarray(resample_roundtrip(hi, 8000))
+    lo_out = np.asarray(resample_roundtrip(lo, 8000))
+    assert np.sqrt((hi_out**2).mean()) < 0.1 * np.sqrt((np.asarray(hi) ** 2).mean())
+    assert np.sqrt((lo_out**2).mean()) > 0.8 * np.sqrt((np.asarray(lo) ** 2).mean())
+
+
+def test_augmented_train_step_runs():
+    cfg = _cfg(augment=AugmentConfig(noise_snr_db=(25.0, 35.0), volume_range=(0.5, 1.0), quantize=True))
+    from awm_tpu import train as tr
+
+    state, gen, det = tr.init_state(cfg, jax.random.key(0))
+    tx = tr.make_optimizer(cfg)
+    b = jnp.asarray(np.random.default_rng(0).standard_normal((4, 512)).astype(np.float32) * 0.3)
+    state, terms = tr.train_step(cfg, gen, det, tx, state, b, jax.random.key(1))
+    assert np.isfinite(float(terms["total"]))
+
+
+# -- trainer ---------------------------------------------------------------
+
+
+def test_fit_end_to_end(tmp_path):
+    cfg = dataclasses.replace(
+        _cfg(256), train=dataclasses.replace(_cfg(256).train, epochs=2)
+    )
+    ds = SyntheticClips(n=16, audio_len=256)
+    train_loader = BatchLoader(ds, batch_size=4, seed=0, num_workers=2)
+    val_loader = BatchLoader(ds, batch_size=4, shuffle=False, num_workers=2)
+    out = fit(
+        cfg,
+        train_loader,
+        val_loader,
+        ckpt_dir=str(tmp_path / "ck"),
+        log_path=str(tmp_path / "metrics.csv"),
+        plot_path=str(tmp_path / "loss.png"),
+        verbose=False,
+    )
+    assert len(out["history"]) == 2
+    assert np.isfinite(out["best_val"])
+    assert os.path.isdir(str(tmp_path / "ck" / "ckpt_latest"))
+    assert os.path.isdir(str(tmp_path / "ck" / "ckpt_best"))
+    assert os.path.exists(str(tmp_path / "metrics.csv"))
+    assert os.path.exists(str(tmp_path / "loss.png"))
+    # per-term columns present (main15-style logging)
+    assert "train_mel" in out["history"][0] and "val_loud" in out["history"][0]
+
+
+def test_fit_resume(tmp_path):
+    cfg = dataclasses.replace(
+        _cfg(256), train=dataclasses.replace(_cfg(256).train, epochs=1)
+    )
+    ds = SyntheticClips(n=8, audio_len=256)
+    mk = lambda: BatchLoader(ds, batch_size=4, seed=0, num_workers=2)
+    fit(cfg, mk(), mk(), ckpt_dir=str(tmp_path), verbose=False)
+    # second call resumes at epoch 1 == epochs -> zero additional epochs
+    out = fit(cfg, mk(), mk(), ckpt_dir=str(tmp_path), verbose=False)
+    assert out["history"] == []
+
+
+def test_fit_finetune_init_from(tmp_path):
+    cfg = dataclasses.replace(
+        _cfg(256), train=dataclasses.replace(_cfg(256).train, epochs=1)
+    )
+    ds = SyntheticClips(n=8, audio_len=256)
+    mk = lambda: BatchLoader(ds, batch_size=4, seed=0, num_workers=2)
+    fit(cfg, mk(), mk(), ckpt_dir=str(tmp_path / "pre"), verbose=False)
+
+    ft_cfg = dataclasses.replace(get_config("ft_robust"), audio_len=256)
+    ft_cfg = dataclasses.replace(ft_cfg, train=dataclasses.replace(ft_cfg.train, epochs=1))
+    out = fit(
+        ft_cfg, mk(), mk(),
+        init_from=str(tmp_path / "pre" / "ckpt_best"),
+        verbose=False,
+    )
+    assert len(out["history"]) == 1

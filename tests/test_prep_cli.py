@@ -1,0 +1,133 @@
+"""Dataset-prep tool + CLI tests (ref: dataset_creation/*, SURVEY.md 2.3)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from awm_tpu.data import prep
+from awm_tpu.utils.audio_io import save_wav
+
+
+@pytest.fixture
+def corpus(tmp_path, rng):
+    d = tmp_path / "raw"
+    d.mkdir()
+    t = np.arange(32000) / 16000.0
+    # speech-like: modulated low tone; noise-like: white noise
+    speech = (0.4 * np.sin(2 * np.pi * 200 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 4 * t))).astype(np.float32)
+    # make it peaky (high kurtosis) like speech
+    speech = speech * (np.abs(speech) > 0.2)
+    noise = (0.3 * rng.standard_normal(32000)).astype(np.float32)
+    silent = np.zeros(16000, np.float32)
+    save_wav(str(d / "speech.wav"), speech, 16000)
+    save_wav(str(d / "noise.wav"), noise, 16000)
+    save_wav(str(d / "silent.wav"), silent, 16000)
+    return str(d)
+
+
+def test_metadata_select_compare(tmp_path, corpus):
+    meta = str(tmp_path / "meta.csv")
+    n = prep.build_metadata(corpus, meta, exts=(".wav",))
+    assert n == 3
+    rows = prep.read_metadata(meta)
+    assert all(abs(dur - (2.0 if "speech" in p or "noise" in p else 1.0)) < 0.01 for p, dur in rows)
+
+    sel = str(tmp_path / "sel.csv")
+    k, total = prep.select_audios(meta, sel, seconds=3.0, seed=1)
+    assert total >= 3.0 and k >= 2
+
+    cmp_out = prep.compare_metadata(meta, sel)
+    assert cmp_out["overlap"] == k
+
+
+def test_segment_to_clips(tmp_path, corpus):
+    files = [os.path.join(corpus, "speech.wav"), os.path.join(corpus, "noise.wav")]
+    out = str(tmp_path / "clips")
+    n = prep.segment_to_clips(files, out, workers=2)
+    assert n == 4  # two 2-s files -> 2 clips each
+    import glob
+
+    clips = glob.glob(os.path.join(out, "*.wav"))
+    assert len(clips) == 4
+    from awm_tpu.utils.audio_io import load_audio
+
+    wav, sr = load_audio(clips[0])
+    assert sr == 16000 and wav.shape[1] == 16000
+    # peak-normalized to ~0.99 across the source file
+    peaks = [np.abs(load_audio(c)[0]).max() for c in sorted(clips)]
+    assert max(peaks) > 0.9
+
+    # per-file subdirs variant (100_sub.py)
+    out2 = str(tmp_path / "clips2")
+    prep.segment_to_clips(files, out2, per_file_subdirs=True, workers=1)
+    assert os.path.isdir(os.path.join(out2, "speech"))
+
+
+def test_classifier_separates_speech_noise(corpus, tmp_path):
+    f_speech = prep.analyze_audio(os.path.join(corpus, "speech.wav"))
+    f_noise = prep.analyze_audio(os.path.join(corpus, "noise.wav"))
+    assert prep.classify_speech_noise(f_speech) == "speech"
+    assert prep.classify_speech_noise(f_noise) == "noise"
+    assert prep.classify_speech_noise({"error": "x"}) == "error"
+
+    out = str(tmp_path / "cls")
+    stats = prep.classify_folder(corpus, out, workers=2)
+    assert stats["speech"] >= 1 and stats["noise"] >= 1
+    assert os.path.exists(os.path.join(out, "audio_classification_results.csv"))
+    speech_list = os.path.join(out, "speech_files.txt")
+    assert os.path.exists(speech_list)
+
+    dest = str(tmp_path / "speech_only")
+    n = prep.copy_speech_only(speech_list, dest)
+    assert n >= 1 and len(os.listdir(dest)) == n
+
+
+def test_find_silent(corpus):
+    silent = prep.find_silent(corpus)
+    assert len(silent) == 1 and "silent.wav" in silent[0]
+
+
+# -- CLI -------------------------------------------------------------------
+
+
+def _run_cli(*args):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable, "-m", "awm_tpu", *args],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=500,
+    )
+
+
+def test_cli_prep_and_help(tmp_path, corpus):
+    r = _run_cli("--help")
+    assert r.returncode == 0 and "embed" in r.stdout and "prep" in r.stdout
+
+    meta = str(tmp_path / "m.csv")
+    r = _run_cli("prep", "metadata", corpus, meta)
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(meta)
+
+    r = _run_cli("prep", "silent", corpus)
+    assert r.returncode == 0 and "silent.wav" in r.stdout
+
+
+def test_cli_embed_detect_roundtrip(tmp_path, rng):
+    clip = (0.2 * rng.standard_normal(24000)).astype(np.float32)
+    src = str(tmp_path / "in.wav")
+    save_wav(src, clip, 16000)
+    out = str(tmp_path / "out.wav")
+    # --platform cpu: the image's sitecustomize forces a TPU plugin on
+    # subprocesses; --audio-len keeps the CPU LSTM scan short
+    r = _run_cli("--platform", "cpu", "embed", src, out, "--audio-len", "800", "--seed", "0")
+    assert r.returncode == 0, r.stderr
+    metrics = json.loads(r.stdout)
+    assert os.path.exists(out) and "watermark_rms" in metrics
+
+    r = _run_cli("--platform", "cpu", "detect", out, "--audio-len", "800")
+    assert r.returncode == 0, r.stderr
+    d = json.loads(r.stdout)
+    assert "mean_probability" in d and d["decision"] in ("WATERMARKED", "NOT WATERMARKED")
