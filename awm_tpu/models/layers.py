@@ -145,10 +145,17 @@ class StridedResBlock(nn.Module):
 
 
 class LSTM(nn.Module):
-    """Single-layer torch-layout LSTM over (B, T, D) -> (B, T, H)."""
+    """Single-layer torch-layout LSTM over (B, T, D) -> (B, T, H).
+
+    impl: 'auto' uses the fused Pallas kernel on TPU (bit-identical, ~2x
+    faster, and avoids the (B, T, 4H) HBM intermediate) and lax.scan
+    elsewhere; 'scan'/'pallas' force a path.  The Pallas forward carries a
+    custom_vjp whose backward replays the differentiable scan.
+    """
 
     hidden: int
     unroll: int = 16
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -162,6 +169,13 @@ class LSTM(nn.Module):
         w_hh = self.param("w_hh", uinit, (4 * self.hidden, self.hidden))
         # torch keeps b_ih and b_hh separately but always sums them; store one.
         b = self.param("b", uinit, (4 * self.hidden,))
+        use_pallas = self.impl == "pallas" or (
+            self.impl == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            from awm_tpu.ops.pallas.lstm_kernel import lstm_fused
+
+            return lstm_fused(x, w_ih, w_hh, b)
         return lstm_forward(x, w_ih, w_hh, b, unroll=self.unroll)
 
 
