@@ -80,6 +80,7 @@ class BatchLoader:
         drop_last: bool = True,
         num_workers: int = 8,
         prefetch: int = 4,
+        native: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -90,6 +91,16 @@ class BatchLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self._epoch = 0
+        self.n_errors = 0  # undecodable clips seen (skip-and-count)
+        # native C++ batch decoder (one C call per batch); requires a
+        # filepath-backed dataset and a built libawmwav.so — falls back to
+        # the Python decode path otherwise
+        self._native = False
+        if native and hasattr(dataset, "filepaths"):
+            from awm_tpu.data import native as _native_mod
+
+            self._native = _native_mod.available()
+            self._native_mod = _native_mod
 
     def __len__(self) -> int:
         n = len(self.indices)
@@ -112,8 +123,36 @@ class BatchLoader:
         if not batches:
             return iter(())
 
+        def safe_item(i: int) -> np.ndarray:
+            """Skip-and-count on undecodable clips (the reference's per-file
+            try/except spirit, ref: py/main14.py:1006-1009): a bad file
+            becomes silence instead of killing the epoch."""
+            try:
+                return self.dataset[int(i)]
+            except Exception as e:
+                self.n_errors += 1
+                if self.n_errors <= 5:
+                    import warnings
+
+                    warnings.warn(f"skipping undecodable clip idx {i}: {e}")
+                return np.zeros(self.dataset.audio_len, dtype=np.float32)
+
         def load_batch(batch_idx: np.ndarray) -> np.ndarray:
-            return np.stack([self.dataset[int(i)] for i in batch_idx])
+            if self._native:
+                paths = [self.dataset.filepaths[int(i)] for i in batch_idx]
+                out, ok = self._native_mod.load_clips(
+                    paths,
+                    clip_len=self.dataset.audio_len,
+                    target_sr=self.dataset.sample_rate,
+                    n_threads=self.num_workers,
+                )
+                if ok.all():
+                    return out
+                # fall back per-file for anything the native decoder rejects
+                for j in np.nonzero(~ok)[0]:
+                    out[j] = safe_item(int(batch_idx[j]))
+                return out
+            return np.stack([safe_item(int(i)) for i in batch_idx])
 
         def gen():
             with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:

@@ -266,3 +266,34 @@ def detect_watermark_folder(
         "n_watermarked": n_wm,
         "fraction_watermarked": n_wm / max(1, len(per_file)),
     }
+
+
+def visualize_delta(
+    session: InferenceSession,
+    clips: "np.ndarray",
+    out_path: str,
+    *,
+    num_examples: int = 3,
+    seed: int = 0,
+) -> None:
+    """Plot original vs watermarked waveforms for a few clips
+    (ref: visualize_delta py/main14.py:346-364); saves a PNG."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rng = np.random.default_rng(seed)
+    n = min(num_examples, clips.shape[0])
+    msgs = rng.integers(0, 2**session.message_bits, size=n).astype(np.int32)
+    deltas = session.embed_chunks(clips[:n].astype(np.float32), msgs)
+    fig, axes = plt.subplots(n, 2, figsize=(12, 3 * n), squeeze=False)
+    for i in range(n):
+        axes[i][0].plot(clips[i], lw=0.5)
+        axes[i][0].set_title(f"original #{i}")
+        axes[i][1].plot(clips[i] + deltas[i], lw=0.5, color="tab:orange")
+        axes[i][1].set_title(f"watermarked #{i} (delta RMS {np.sqrt((deltas[i]**2).mean()):.5f})")
+    plt.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    plt.savefig(out_path)
+    plt.close(fig)
