@@ -142,6 +142,13 @@ def cmd_detect_folder(args):
     print(json.dumps(out, indent=2))
 
 
+def cmd_serve(args):
+    from awm_tpu.serve import serve
+
+    sess = _load_session(args)
+    serve(sess, host=args.host, port=args.port)
+
+
 def cmd_bench(args):
     import bench
 
@@ -246,6 +253,12 @@ def main(argv=None):
 
     p = sub.add_parser("bench", help="clips/sec/chip benchmark")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("serve", help="HTTP embed/detect server")
+    _add_session_args(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8787)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("prep", help="dataset creation tools")
     psub = p.add_subparsers(dest="prep_cmd", required=True)

@@ -48,6 +48,10 @@ class LossConfig:
     hf_penalty_w: float = 0.0  # main16 only (ref: py/main16.py:43)
     hf_cutoff_hz: float = 3500.0
     hf_n_fft: int = 512
+    # (n_fft, hop) scales for the mel loss.  The reference's
+    # "MultiScaleMelLoss" is single-scale (ref: py/main14.py:154-164);
+    # add more tuples for a true multi-scale loss.
+    mel_scales: Tuple[Tuple[int, int], ...] = ((1024, 256),)
 
 
 @dataclasses.dataclass(frozen=True)

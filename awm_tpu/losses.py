@@ -115,7 +115,7 @@ def total_loss(
         "loc": loc_loss(detection_logits),
         "dec": dec_loss(decode_logits, message, message_bits),
         "l1": l1_delta_loss(delta),
-        "mel": mel_l1_loss(s, s_w),
+        "mel": mel_l1_loss(s, s_w, scales=cfg.mel_scales),
         "loud": tf_loudness_loss(s, s_w),
     }
     total = (

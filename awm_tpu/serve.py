@@ -1,0 +1,138 @@
+"""Minimal HTTP serving layer (L7) wrapping the embed/detect API.
+
+The reference delegates serving to a sister repo (FastAPI backend + Next.js
+frontend, ref: README.md:237-258).  This module provides the equivalent REST
+surface with zero extra dependencies (stdlib ThreadingHTTPServer):
+
+    POST /embed?message=N&seed=K   body: WAV bytes -> watermarked WAV bytes
+                                   (metrics in X-Awm-* response headers)
+    POST /detect?threshold=T       body: WAV bytes -> JSON detection result
+    GET  /healthz                  -> JSON status
+
+Audio decoding/encoding is host-side; the model runs through the session's
+batched device kernels, so concurrent requests share compiled graphs.
+
+Start with:  python -m awm_tpu serve --ckpt runs/base/ckpt_best --port 8787
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from awm_tpu.api import InferenceSession, detect_array, watermark_array
+from awm_tpu.utils.audio_io import save_wav, to_mono, resample
+
+
+def _decode_wav_bytes(data: bytes, sample_rate: int) -> np.ndarray:
+    import tempfile, os
+
+    from awm_tpu.utils.audio_io import load_audio
+
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        wav, sr = load_audio(path)
+    finally:
+        os.unlink(path)
+    return resample(to_mono(wav), sr, sample_rate)
+
+
+def _encode_wav_bytes(waveform: np.ndarray, sample_rate: int) -> bytes:
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        path = f.name
+    try:
+        save_wav(path, waveform, sample_rate)
+        with open(path, "rb") as g:
+            return g.read()
+    finally:
+        os.unlink(path)
+
+
+def make_handler(session: InferenceSession):
+    lock = threading.Lock()  # session kernels are thread-safe, np staging isn't
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                self._json(200, {"status": "ok", "message_bits": session.message_bits,
+                                 "sample_rate": session.sample_rate})
+            else:
+                self._json(404, {"error": "unknown endpoint"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            q = parse_qs(url.query)
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                if length <= 0:
+                    return self._json(400, {"error": "empty body; POST WAV bytes"})
+                data = self.rfile.read(length)
+                wav = _decode_wav_bytes(data, session.sample_rate)
+            except Exception as e:
+                return self._json(400, {"error": f"could not decode audio: {e}"})
+
+            if url.path == "/embed":
+                message: Optional[int] = None
+                if "message" in q:
+                    message = int(q["message"][0])
+                    if not 0 <= message < 2**session.message_bits:
+                        return self._json(400, {"error": "message out of range"})
+                seed = int(q["seed"][0]) if "seed" in q else None
+                with lock:
+                    res = watermark_array(wav, session, message=message, seed=seed)
+                out = _encode_wav_bytes(res["watermarked_waveform"], session.sample_rate)
+                delta = res["delta_waveform"]
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(out)))
+                self.send_header("X-Awm-Watermark-Rms", f"{float(np.sqrt((delta**2).mean())):.6g}")
+                self.send_header("X-Awm-Messages", ",".join(map(str, res["messages"])))
+                self.end_headers()
+                self.wfile.write(out)
+            elif url.path == "/detect":
+                thr = float(q["threshold"][0]) if "threshold" in q else 0.5
+                with lock:
+                    r = detect_array(wav, session, thr)
+                self._json(200, {
+                    "mean_probability": r["mean_probability"],
+                    "is_watermarked": r["is_watermarked"],
+                    "decision": r["decision"],
+                    "predicted_message": r["predicted_message"],
+                    "message_confidence": r["message_confidence"],
+                })
+            else:
+                self._json(404, {"error": "unknown endpoint"})
+
+    return Handler
+
+
+def serve(session: InferenceSession, host: str = "127.0.0.1", port: int = 8787):
+    httpd = ThreadingHTTPServer((host, port), make_handler(session))
+    print(f"awm_tpu serving on http://{host}:{port} (POST /embed, /detect; GET /healthz)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()

@@ -131,9 +131,14 @@ def fit(
                 train_terms.append(_fetch(pending))
             pending = terms
             if quick_every and (i + 1) % quick_every == 0 and val_iterable:
-                qv = run_validation()
-                if verbose and qv:
-                    print(f"  [quick-val @ step {i+1}] total={qv['total']:.4f} mel={qv.get('mel', 0):.4f}")
+                # one val batch only, mid-epoch proxy (ref: py/main14d.py:266-279)
+                qb = next(iter(val_iterable), None)
+                if qb is not None:
+                    qv = _fetch(
+                        tr.eval_step(cfg, gen, det, state, put(qb), jax.random.fold_in(rng, 9_000 + i))
+                    )
+                    if verbose:
+                        print(f"  [quick-val @ step {i+1}] total={qv['total']:.4f} mel={qv.get('mel', 0):.4f}")
         if pending is not None:
             train_terms.append(_fetch(pending))
         train_mean = _mean_terms(train_terms) if train_terms else {}

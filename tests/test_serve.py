@@ -1,0 +1,100 @@
+"""HTTP serving layer tests: embed/detect round-trip over a real socket."""
+
+import dataclasses
+import http.client
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from awm_tpu.api import InferenceSession
+from awm_tpu.config import get_config
+from awm_tpu.serve import make_handler
+from awm_tpu import train as tr
+from awm_tpu.utils.audio_io import save_wav
+from http.server import ThreadingHTTPServer
+
+CHUNK = 800
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = dataclasses.replace(get_config("base"), audio_len=CHUNK)
+    state, gen, det = tr.init_state(cfg, jax.random.key(0))
+    sess = InferenceSession.from_state(cfg, gen, det, state)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(sess))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_address
+    httpd.shutdown()
+
+
+def _wav_bytes(x):
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        path = f.name
+    save_wav(path, x, 16000)
+    data = open(path, "rb").read()
+    os.unlink(path)
+    return data
+
+
+def test_healthz(server):
+    host, port = server
+    c = http.client.HTTPConnection(host, port, timeout=30)
+    c.request("GET", "/healthz")
+    r = c.getresponse()
+    assert r.status == 200
+    body = json.loads(r.read())
+    assert body["status"] == "ok" and body["message_bits"] == 16
+
+
+def test_embed_then_detect(server, rng):
+    host, port = server
+    wav = (0.2 * rng.standard_normal(2000)).astype(np.float32)
+    data = _wav_bytes(wav)
+
+    c = http.client.HTTPConnection(host, port, timeout=120)
+    c.request("POST", "/embed?message=1234&seed=0", body=data,
+              headers={"Content-Length": str(len(data))})
+    r = c.getresponse()
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "audio/wav"
+    msgs = r.getheader("X-Awm-Messages").split(",")
+    assert all(m == "1234" for m in msgs)
+    wm_bytes = r.read()
+    assert wm_bytes[:4] == b"RIFF"
+
+    c.request("POST", "/detect", body=wm_bytes,
+              headers={"Content-Length": str(len(wm_bytes))})
+    r = c.getresponse()
+    assert r.status == 200
+    out = json.loads(r.read())
+    assert 0.0 <= out["mean_probability"] <= 1.0
+    assert len(out["predicted_message"]) == 16
+
+
+def test_error_paths(server):
+    host, port = server
+    c = http.client.HTTPConnection(host, port, timeout=30)
+    # empty body
+    c.request("POST", "/embed", body=b"")
+    assert json.loads(c.getresponse().read())["error"].startswith("empty body")
+    # garbage audio
+    c.request("POST", "/detect", body=b"this is not audio",
+              headers={"Content-Length": "17"})
+    r = c.getresponse()
+    assert r.status == 400
+    # out-of-range message
+    wav = _wav_bytes(np.zeros(1000, np.float32))
+    c.request("POST", "/embed?message=99999999", body=wav,
+              headers={"Content-Length": str(len(wav))})
+    assert c.getresponse().status == 400
+    # unknown endpoint
+    c.request("POST", "/nope", body=wav, headers={"Content-Length": str(len(wav))})
+    assert c.getresponse().status == 404
