@@ -135,7 +135,7 @@ def lstm_pallas_forward(
         w_hh.T.astype(jnp.float32),
         b.reshape(1, -1).astype(jnp.float32),
     )
-    return jnp.swapaxes(y_t, 0, 1)
+    return jnp.swapaxes(y_t, 0, 1).astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())

@@ -21,6 +21,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# CPU compiles are cached across test runs (the TPU tunnel's remote compile
+# bypasses this cache, but CPU honors it) — big suite-time saver.
+jax.config.update("jax_compilation_cache_dir", "/tmp/awm_tpu_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
