@@ -85,6 +85,8 @@ def cmd_train(args):
     cfg = _cfg_for(args)
     if args.epochs:
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, epochs=args.epochs))
+    if args.batch_size:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, batch_size=args.batch_size))
     if args.data:
         ds = OneSecClips(args.data, cfg.sample_rate, cfg.audio_len)
         if not len(ds):
@@ -221,6 +223,7 @@ def main(argv=None):
     p = sub.add_parser("train", help="train generator+detector")
     p.add_argument("--preset", default="base")
     p.add_argument("--audio-len", type=int)
+    p.add_argument("--batch-size", type=int)
     p.add_argument("--data", help="directory of 1-s wav clips")
     p.add_argument("--synthetic-n", type=int, default=256)
     p.add_argument("--epochs", type=int)
