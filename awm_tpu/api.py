@@ -23,7 +23,6 @@ import numpy as np
 
 from awm_tpu.config import AUDIO_LEN, SAMPLE_RATE
 from awm_tpu.dsp import lowpass_biquad
-from awm_tpu.models import Detector, Generator, build_models
 from awm_tpu.utils.audio_io import load_mono_16k, save_wav
 
 _MAX_BUCKET = 512  # chunks per device call; longer files loop over megabatches

@@ -18,7 +18,7 @@ shipped detector_best.pth (BASELINE.json bit-exactness requirement).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ from __future__ import annotations
 import concurrent.futures as cf
 import glob
 import os
-import threading
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np

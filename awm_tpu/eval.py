@@ -24,7 +24,7 @@ from awm_tpu.api import (
     watermark_array,
     _si_snr_np,
 )
-from awm_tpu.utils.audio_io import load_mono_16k, save_wav
+from awm_tpu.utils.audio_io import load_mono_16k
 
 AUDIO_EXTS = (".wav", ".mp3", ".flac", ".ogg")  # ref: py/main14.py:1055-1058
 

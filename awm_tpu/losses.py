@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from awm_tpu.config import LossConfig
-from awm_tpu.dsp import hann_window, log_mel, spectrogram, stft
+from awm_tpu.dsp import log_mel, spectrogram, stft
 from awm_tpu.models.messages import message_to_bits
 
 

@@ -8,8 +8,6 @@ training dynamics are comparable with the reference runs.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ from __future__ import annotations
 import contextlib
 import time
 from collections import deque
-from typing import Deque, Optional
+from typing import Deque
 
 
 class StepTimer:
