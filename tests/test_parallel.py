@@ -88,3 +88,27 @@ def test_parallel_multiple_steps_and_eval():
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
     m = tr.evaluate_step(cfg, gen, det, state, b, key)
     assert np.isfinite(float(jnp.mean(m["watermarked_prob"])))
+
+
+def test_dryrun_multichip_contract():
+    """The driver-facing entry point must run on the 8-virtual-device CPU
+    platform exactly as the driver invokes it."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_entry_contract():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    s_w, logits = out
+    assert s_w.shape == (4, 16000)
+    assert logits.shape == (8, 16000, 17)
