@@ -48,3 +48,32 @@ def test_lstm_module_auto_uses_scan_on_cpu(rng):
     np.testing.assert_allclose(
         np.asarray(m_auto.apply(v, x)), np.asarray(m_scan.apply(v, x)), atol=1e-6
     )
+
+
+def test_pallas_backward_matches_scan_interpret(rng):
+    """Full custom_vjp (Pallas fwd + Pallas bwd) vs autodiff-of-scan grads,
+    interpreter mode."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from awm_tpu.ops.pallas.lstm_kernel import lstm_fused
+
+    b, t, d = 2, 128, 64
+    h = 64
+    x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32) * 0.3)
+    w_ih = jnp.asarray(rng.standard_normal((4 * h, d)).astype(np.float32) * 0.1)
+    w_hh = jnp.asarray(rng.standard_normal((4 * h, h)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.standard_normal((4 * h,)).astype(np.float32) * 0.1)
+
+    def loss_s(*a):
+        return jnp.sum(jnp.sin(lstm_forward(*a)))
+
+    def loss_p(*a):
+        return jnp.sum(jnp.sin(lstm_fused(*a)))
+
+    ref = jax.grad(loss_s, argnums=(0, 1, 2, 3))(x, w_ih, w_hh, bias)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_p, argnums=(0, 1, 2, 3))(x, w_ih, w_hh, bias)
+    for name, a, c in zip(("dx", "dw_ih", "dw_hh", "db"), got, ref):
+        denom = float(jnp.abs(c).max()) + 1e-9
+        rel = float(jnp.abs(a - c).max()) / denom
+        assert rel < 5e-3, (name, rel)
