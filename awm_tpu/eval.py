@@ -297,3 +297,49 @@ def visualize_delta(
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     plt.savefig(out_path)
     plt.close(fig)
+
+
+def plot_confusion(cm, out_path: str, labels=("clean", "watermarked")) -> None:
+    """Confusion-matrix heatmap (ref: py/main14.py:1396-1410, seaborn there;
+    plain matplotlib here)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cm = np.asarray(cm)
+    fig, ax = plt.subplots(figsize=(5, 4))
+    im = ax.imshow(cm, cmap="Blues")
+    for (i, j), v in np.ndenumerate(cm):
+        ax.text(j, i, str(int(v)), ha="center", va="center",
+                color="white" if v > cm.max() / 2 else "black")
+    ax.set_xticks(range(len(labels)), labels)
+    ax.set_yticks(range(len(labels)), labels)
+    ax.set_xlabel("predicted")
+    ax.set_ylabel("true")
+    fig.colorbar(im)
+    plt.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    plt.savefig(out_path)
+    plt.close(fig)
+
+
+def plot_roc(labels, probs, out_path: str) -> None:
+    """ROC curve figure with AUC (ref: py/main14.py:1459-1473)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fpr, tpr, _, auc_val = roc_auc(labels, probs)
+    plt.figure(figsize=(5, 4))
+    plt.plot(fpr, tpr, label=f"AUC = {auc_val:.4f}")
+    plt.plot([0, 1], [0, 1], "k--", alpha=0.4)
+    plt.xlabel("false positive rate")
+    plt.ylabel("true positive rate")
+    plt.legend()
+    plt.grid(alpha=0.3)
+    plt.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    plt.savefig(out_path)
+    plt.close()
