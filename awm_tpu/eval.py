@@ -343,3 +343,59 @@ def plot_roc(labels, probs, out_path: str) -> None:
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     plt.savefig(out_path)
     plt.close()
+
+
+def evaluate_robustness(
+    session: InferenceSession,
+    clips: "np.ndarray",
+    *,
+    seed: int = 0,
+    attacks: Optional[Dict[str, callable]] = None,
+) -> Dict[str, Dict[str, float]]:
+    """Attack-matrix robustness sweep: watermark the clips, apply each
+    channel attack to the watermarked audio, and measure detection.
+
+    Extends the reference (which only evaluates the main15c lowpass+quantize
+    channel implicitly through fine-tuning) with an explicit table over the
+    on-device attack ops in awm_tpu.augment.  Returns
+    {attack: {wm_prob, clean_prob, detect_rate}} per attack.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from awm_tpu.augment import add_noise, resample_roundtrip
+    from awm_tpu.dsp import lowpass_biquad, quantize_int16
+
+    if attacks is None:
+        key = jax.random.key(seed)
+        attacks = {
+            "none": lambda x: x,
+            "noise_30db": lambda x: add_noise(x, key, (30.0, 30.0)),
+            "noise_20db": lambda x: add_noise(x, key, (20.0, 20.0)),
+            "volume_0.5": lambda x: x * 0.5,
+            "lowpass_7k": lambda x: lowpass_biquad(x, session.sample_rate, 7000.0),
+            "lowpass_4k": lambda x: lowpass_biquad(x, session.sample_rate, 4000.0),
+            "quantize_int16": quantize_int16,
+            "resample_8k": lambda x: resample_roundtrip(x, 8000, session.sample_rate),
+        }
+
+    clips = np.asarray(clips, dtype=np.float32)
+    n = clips.shape[0]
+    rng = np.random.default_rng(seed)
+    msgs = rng.integers(0, 2**session.message_bits, size=n).astype(np.int32)
+    deltas = session.embed_chunks(clips, msgs)
+    wm = clips + deltas
+
+    results = {}
+    for name, fn in attacks.items():
+        atk_wm = np.asarray(fn(jnp.asarray(wm)))
+        atk_clean = np.asarray(fn(jnp.asarray(clips)))
+        _, _, _, p_wm = session.detect_summary(atk_wm)
+        _, _, _, p_clean = session.detect_summary(atk_clean)
+        results[name] = {
+            "wm_prob": float(p_wm.mean()),
+            "clean_prob": float(p_clean.mean()),
+            "detect_rate": float((p_wm > 0.5).mean()),
+            "false_positive_rate": float((p_clean > 0.5).mean()),
+        }
+    return results

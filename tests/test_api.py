@@ -171,3 +171,14 @@ def test_stoi_sanity(speechlike):
     s0 = stoi(x, sc(0), 16000)
     assert clean >= s20 >= s0
     assert s0 < 0.9
+
+
+def test_evaluate_robustness(trained_session):
+    sess, batch = trained_session
+    table = ev.evaluate_robustness(sess, batch, seed=0)
+    assert "none" in table and "lowpass_7k" in table
+    for name, row in table.items():
+        assert 0.0 <= row["wm_prob"] <= 1.0, name
+        assert 0.0 <= row["detect_rate"] <= 1.0
+    # unattacked watermark must be detected better than clean
+    assert table["none"]["wm_prob"] > table["none"]["clean_prob"]
