@@ -21,13 +21,21 @@ from awm_tpu.dsp import fir_lowpass, lowpass_biquad, quantize_int16
 
 @dataclasses.dataclass(frozen=True)
 class AugmentConfig:
-    """Which channel attacks to simulate during training, with ranges."""
+    """Which channel attacks to simulate during training, with ranges.
+
+    attack_prob applies each configured attack independently per example
+    with that probability (both branches are computed; jnp.where selects).
+    Keeping a fraction of examples un-attacked is essential: an always-on
+    aggressive curriculum collapses the detector's clean/watermarked
+    separation (measured: clean false-positive rate went to 1.0 when every
+    example was resampled+volume-scaled)."""
 
     noise_snr_db: Optional[Tuple[float, float]] = None  # e.g. (20., 40.)
     volume_range: Optional[Tuple[float, float]] = None  # e.g. (0.3, 1.2)
     lowpass_hz: Optional[float] = None  # e.g. 7000.0
     quantize: bool = False
     resample_hz: Optional[int] = None  # e.g. 8000 (down-up round trip)
+    attack_prob: float = 1.0  # per-example, per-attack application probability
     sample_rate: int = 16000
 
 
@@ -72,17 +80,28 @@ def resample_roundtrip(x: jnp.ndarray, target_hz: int, sample_rate: int = 16000)
 
 
 def apply_augment(x: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.ndarray:
-    """Apply the configured attack chain to (B, T) watermarked audio."""
+    """Apply the configured attack chain to (B, T) watermarked audio, each
+    attack independently per example with probability cfg.attack_prob."""
+
+    def maybe(key, attacked, clean):
+        if cfg.attack_prob >= 1.0:
+            return attacked
+        mask = jax.random.bernoulli(key, cfg.attack_prob, (clean.shape[0], 1))
+        return jnp.where(mask, attacked, clean)
+
     if cfg.noise_snr_db is not None:
-        key, k = jax.random.split(key)
-        x = add_noise(x, k, cfg.noise_snr_db)
+        key, k1, k2 = jax.random.split(key, 3)
+        x = maybe(k1, add_noise(x, k2, cfg.noise_snr_db), x)
     if cfg.volume_range is not None:
-        key, k = jax.random.split(key)
-        x = random_volume(x, k, cfg.volume_range)
+        key, k1, k2 = jax.random.split(key, 3)
+        x = maybe(k1, random_volume(x, k2, cfg.volume_range), x)
     if cfg.resample_hz is not None:
-        x = resample_roundtrip(x, cfg.resample_hz, cfg.sample_rate)
+        key, k1 = jax.random.split(key)
+        x = maybe(k1, resample_roundtrip(x, cfg.resample_hz, cfg.sample_rate), x)
     if cfg.lowpass_hz is not None:
-        x = lowpass_biquad(x, cfg.sample_rate, cfg.lowpass_hz)
+        key, k1 = jax.random.split(key)
+        x = maybe(k1, lowpass_biquad(x, cfg.sample_rate, cfg.lowpass_hz), x)
     if cfg.quantize:
-        x = quantize_int16(x)
+        key, k1 = jax.random.split(key)
+        x = maybe(k1, quantize_int16(x), x)
     return x

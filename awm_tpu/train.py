@@ -101,12 +101,17 @@ def _forward(cfg, gen, det, params, batch_stats, s, message, *, train: bool, aug
     if cfg.shaping.clamp_watermarked:
         s_w = jnp.clip(s_w, -1.0, 1.0)
     s_w = apply_channel(s_w, cfg.shaping, cfg.sample_rate)
-    if cfg.augment is not None and aug_key is not None:
-        from awm_tpu.augment import apply_augment
-
-        s_w = apply_augment(s_w, aug_key, cfg.augment)
 
     combined = jnp.concatenate([s_w, s], axis=0)
+    if cfg.augment is not None and aug_key is not None:
+        # Attack BOTH halves of the detector batch.  Attacking only the
+        # watermarked half (as main15c's postprocess does, ref: main15c.ipynb
+        # cell 6) lets the detector use attack artifacts as the label cue —
+        # measured: a lowpass-only-on-s_w curriculum drove the clean
+        # false-positive rate under lowpass attacks to 1.0.
+        from awm_tpu.augment import apply_augment
+
+        combined = apply_augment(combined, aug_key, cfg.augment)
     dvars = {"params": params["det"], "batch_stats": batch_stats["det"]}
     if train:
         logits, dups = det.apply(dvars, combined, train=True, mutable=["batch_stats"])
