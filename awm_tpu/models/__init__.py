@@ -13,7 +13,11 @@ def build_models(model_cfg):
     """Instantiate the (generator, detector) pair for a ModelConfig."""
     if model_cfg.family == "base":
         return (
-            Generator(message_bits=model_cfg.message_bits, channels=model_cfg.channels),
+            Generator(
+                message_bits=model_cfg.message_bits,
+                channels=model_cfg.channels,
+                lstm_impl=model_cfg.lstm_impl,
+            ),
             Detector(message_bits=model_cfg.message_bits, channels=model_cfg.channels),
         )
     if model_cfg.family == "strided":

@@ -24,6 +24,7 @@ class Generator(nn.Module):
     message_bits: int = 16
     channels: int = 64
     lstm_unroll: int = 16
+    lstm_impl: str = "auto"
 
     @nn.compact
     def __call__(self, s: jnp.ndarray, message: jnp.ndarray | None = None, *, train: bool = False):
@@ -32,7 +33,7 @@ class Generator(nn.Module):
         x = ResBlock(self.channels, name="enc_res1")(x, train=train)
         x = ResBlock(self.channels, name="enc_res2")(x, train=train)
 
-        x = LSTM(self.channels, unroll=self.lstm_unroll, name="lstm")(x)
+        x = LSTM(self.channels, unroll=self.lstm_unroll, impl=self.lstm_impl, name="lstm")(x)
 
         if self.message_bits > 0 and message is not None:
             emb = Embedding(2**self.message_bits, self.channels, name="embedding")(
