@@ -41,11 +41,24 @@ def _load_session(args):
     from awm_tpu import train as tr
     from awm_tpu.api import InferenceSession
 
+    import jax.numpy as jnp
+
     cfg = _cfg_for(args)
+    from_torch = getattr(args, "torch_generator", None) or getattr(
+        args, "torch_detector", None
+    )
+    # strict checkpoint parity for imported reference weights: default to
+    # fp32 compute unless the user explicitly opts into bf16
+    explicit = getattr(args, "compute_dtype", None)
+    if explicit:
+        dtype = jnp.float32 if explicit == "float32" else jnp.bfloat16
+    else:
+        dtype = jnp.float32 if from_torch else jnp.bfloat16
+
     state, gen, det = tr.init_state(cfg, jax.random.key(0))
     if getattr(args, "ckpt", None):
         state, _, _ = ck.restore_checkpoint(args.ckpt, state)
-        return InferenceSession.from_state(cfg, gen, det, state)
+        return InferenceSession.from_state(cfg, gen, det, state, compute_dtype=dtype)
     gvars = {"params": state.params["gen"], "batch_stats": state.batch_stats["gen"]}
     dvars = {"params": state.params["det"], "batch_stats": state.batch_stats["det"]}
     if getattr(args, "torch_generator", None):
@@ -55,7 +68,8 @@ def _load_session(args):
     return InferenceSession(gen, det, gvars, dvars,
                             message_bits=cfg.message_bits,
                             sample_rate=cfg.sample_rate,
-                            chunk_len=cfg.audio_len)
+                            chunk_len=cfg.audio_len,
+                            compute_dtype=dtype)
 
 
 def cmd_embed(args):
@@ -199,6 +213,11 @@ def _add_session_args(p):
     p.add_argument("--ckpt", help="orbax checkpoint path (ckpt_best/ckpt_latest dir)")
     p.add_argument("--torch-generator", help="reference generator_best.pth to import")
     p.add_argument("--torch-detector", help="reference detector_best.pth to import")
+    p.add_argument(
+        "--compute-dtype", choices=["bfloat16", "float32"],
+        help="inference compute dtype (default: bfloat16, or float32 when "
+        "importing --torch-* weights for strict checkpoint parity)",
+    )
 
 
 def main(argv=None):

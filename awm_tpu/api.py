@@ -133,7 +133,7 @@ class InferenceSession:
         self._embed_detect = jax.jit(_embed_detect)
 
     @classmethod
-    def from_state(cls, cfg, gen, det, state) -> "InferenceSession":
+    def from_state(cls, cfg, gen, det, state, compute_dtype=jnp.bfloat16) -> "InferenceSession":
         """Build from a TrainState (awm_tpu.train)."""
         return cls(
             gen,
@@ -143,6 +143,7 @@ class InferenceSession:
             message_bits=cfg.message_bits,
             sample_rate=cfg.sample_rate,
             chunk_len=cfg.audio_len,
+            compute_dtype=compute_dtype,
         )
 
     # -- batched chunk kernels (bucket-padded static shapes) ----------------

@@ -45,8 +45,14 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) and os.path.exists(_SRC):
-            if not _build():
+        if os.path.exists(_SRC):
+            stale = not os.path.exists(_LIB) or (
+                os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+            )
+            # rebuild when the source is newer so a leftover library can
+            # never shadow source fixes; keep a pre-existing lib only as a
+            # fallback when the toolchain is missing
+            if stale and not _build() and not os.path.exists(_LIB):
                 return None
         if not os.path.exists(_LIB):
             return None

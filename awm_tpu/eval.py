@@ -367,11 +367,13 @@ def evaluate_robustness(
     from awm_tpu.dsp import lowpass_biquad, quantize_int16
 
     if attacks is None:
-        key = jax.random.key(seed)
+        # independent key per stochastic attack — sharing one key would test
+        # the same noise realization at both SNRs
+        k30, k20 = jax.random.split(jax.random.key(seed))
         attacks = {
             "none": lambda x: x,
-            "noise_30db": lambda x: add_noise(x, key, (30.0, 30.0)),
-            "noise_20db": lambda x: add_noise(x, key, (20.0, 20.0)),
+            "noise_30db": lambda x: add_noise(x, k30, (30.0, 30.0)),
+            "noise_20db": lambda x: add_noise(x, k20, (20.0, 20.0)),
             "volume_0.5": lambda x: x * 0.5,
             "lowpass_7k": lambda x: lowpass_biquad(x, session.sample_rate, 7000.0),
             "lowpass_4k": lambda x: lowpass_biquad(x, session.sample_rate, 4000.0),

@@ -367,16 +367,25 @@ def lstm_fused(x, w_ih, w_hh, b):
 
 def _fused_fwd(x, w_ih, w_hh, b):
     y, hprev, cprev = _forward_train(x, w_ih, w_hh, b)
-    x_t = jnp.swapaxes(x, 0, 1).astype(jnp.float32)
     out = jnp.swapaxes(y, 0, 1).astype(x.dtype)
-    return out, (x_t, hprev, cprev, w_ih, w_hh, b)
+    # keep x in its ORIGINAL dtype as the residual (half the bytes under
+    # bf16 mixed precision); the backward re-does the cheap transpose+cast
+    return out, (x, hprev, cprev, w_ih, w_hh, b)
 
 
 def _fused_bwd(residuals, g):
-    x_t, hprev, cprev, w_ih, w_hh, b = residuals
+    x, hprev, cprev, w_ih, w_hh, b = residuals
+    x_t = jnp.swapaxes(x, 0, 1).astype(jnp.float32)
     dy_t = jnp.swapaxes(g, 0, 1).astype(jnp.float32)
     dx_t, dw_ih, dw_hh, db = _backward(x_t, hprev, cprev, dy_t, w_ih, w_hh, b)
-    return jnp.swapaxes(dx_t, 0, 1), dw_ih, dw_hh, db
+    # cotangents must match the primal dtypes (custom_vjp checks), e.g.
+    # bf16 activations with fp32 params under mixed-precision training
+    return (
+        jnp.swapaxes(dx_t, 0, 1).astype(x.dtype),
+        dw_ih.astype(w_ih.dtype),
+        dw_hh.astype(w_hh.dtype),
+        db.astype(b.dtype),
+    )
 
 
 lstm_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import io
 import json
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
@@ -59,7 +58,10 @@ def _encode_wav_bytes(waveform: np.ndarray, sample_rate: int) -> bytes:
 
 
 def make_handler(session: InferenceSession):
-    lock = threading.Lock()  # session kernels are thread-safe, np staging isn't
+    # No lock: every request stages its own numpy buffers and the session's
+    # jitted kernels are thread-safe (XLA executables are immutable), so
+    # concurrent requests genuinely overlap host decode/encode work and
+    # share the device via JAX's internal serialization.
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -93,14 +95,16 @@ def make_handler(session: InferenceSession):
                 return self._json(400, {"error": f"could not decode audio: {e}"})
 
             if url.path == "/embed":
-                message: Optional[int] = None
-                if "message" in q:
-                    message = int(q["message"][0])
-                    if not 0 <= message < 2**session.message_bits:
-                        return self._json(400, {"error": "message out of range"})
-                seed = int(q["seed"][0]) if "seed" in q else None
-                with lock:
-                    res = watermark_array(wav, session, message=message, seed=seed)
+                try:
+                    message: Optional[int] = None
+                    if "message" in q:
+                        message = int(q["message"][0])
+                        if not 0 <= message < 2**session.message_bits:
+                            return self._json(400, {"error": "message out of range"})
+                    seed = int(q["seed"][0]) if "seed" in q else None
+                except ValueError as e:
+                    return self._json(400, {"error": f"bad query parameter: {e}"})
+                res = watermark_array(wav, session, message=message, seed=seed)
                 out = _encode_wav_bytes(res["watermarked_waveform"], session.sample_rate)
                 delta = res["delta_waveform"]
                 self.send_response(200)
@@ -111,9 +115,11 @@ def make_handler(session: InferenceSession):
                 self.end_headers()
                 self.wfile.write(out)
             elif url.path == "/detect":
-                thr = float(q["threshold"][0]) if "threshold" in q else 0.5
-                with lock:
-                    r = detect_array(wav, session, thr)
+                try:
+                    thr = float(q["threshold"][0]) if "threshold" in q else 0.5
+                except ValueError as e:
+                    return self._json(400, {"error": f"bad query parameter: {e}"})
+                r = detect_array(wav, session, thr)
                 self._json(200, {
                     "mean_probability": r["mean_probability"],
                     "is_watermarked": r["is_watermarked"],

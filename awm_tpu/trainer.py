@@ -113,6 +113,23 @@ def fit(
     quick_every = cfg.train.quick_val_every
     val_iterable = val_batches if val_batches is not None else []
 
+    # persistent cycling val iterator for quick-val, matching the reference's
+    # next(val_iter)-with-restart pattern (ref: py/main14d.py:266-279) — each
+    # quick-val sees a DIFFERENT val batch instead of re-scoring the first one
+    _val_iter = [None]
+
+    def next_val_batch():
+        if val_batches is None:
+            return None
+        for _ in range(2):
+            if _val_iter[0] is None:
+                _val_iter[0] = iter(val_iterable)
+            try:
+                return next(_val_iter[0])
+            except StopIteration:
+                _val_iter[0] = None
+        return None
+
     def run_validation() -> Dict[str, float]:
         terms = [
             _fetch(tr.eval_step(cfg, gen, det, state, put(b), jax.random.fold_in(rng, 7_000 + i)))
@@ -132,7 +149,7 @@ def fit(
             pending = terms
             if quick_every and (i + 1) % quick_every == 0 and val_iterable:
                 # one val batch only, mid-epoch proxy (ref: py/main14d.py:266-279)
-                qb = next(iter(val_iterable), None)
+                qb = next_val_batch()
                 if qb is not None:
                     qv = _fetch(
                         tr.eval_step(cfg, gen, det, state, put(qb), jax.random.fold_in(rng, 9_000 + i))

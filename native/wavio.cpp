@@ -42,6 +42,9 @@ bool decode_wav(const uint8_t* data, size_t len, WavData* out) {
     std::memcpy(&chunk_size, data + pos + 4, 4);
     const uint8_t* body = data + pos + 8;
     if (std::memcmp(data + pos, "fmt ", 4) == 0 && chunk_size >= 16) {
+      // Truncated fmt chunk: the declared size runs past EOF — reading the
+      // fields below would be an out-of-bounds heap read.  Decode failure.
+      if (pos + 8 + static_cast<size_t>(chunk_size) > len) return false;
       std::memcpy(&fmt_code, body, 2);
       std::memcpy(&channels, body + 2, 2);
       std::memcpy(&sr, body + 4, 4);

@@ -157,3 +157,39 @@ def test_fit_finetune_init_from(tmp_path):
         verbose=False,
     )
     assert len(out["history"]) == 1
+
+
+class _RecordingLoader:
+    """Re-iterable batch list that records the index of every yielded batch."""
+
+    def __init__(self, batches):
+        self.batches = batches
+        self.yielded = []
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        for i, b in enumerate(self.batches):
+            self.yielded.append(i)
+            yield b
+
+
+def test_quick_val_cycles_val_batches():
+    """Quick-val must CYCLE the val iterator (ref: py/main14d.py:266-279),
+    not re-score the first val batch every time (round-1 regression)."""
+    cfg = _cfg(256)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, epochs=1, quick_val_every=1)
+    )
+    r = np.random.default_rng(0)
+    train_batches = [
+        (0.3 * r.standard_normal((2, 256))).astype(np.float32) for _ in range(3)
+    ]
+    val = _RecordingLoader(
+        [(0.3 * r.standard_normal((2, 256))).astype(np.float32) for _ in range(2)]
+    )
+    fit(cfg, train_batches, val, verbose=False)
+    # 3 quick-vals cycling 2 val batches -> 0,1,0; end-of-epoch validation
+    # then consumes 0,1.  The buggy behavior yields 0,0,0 first.
+    assert val.yielded[:3] == [0, 1, 0], val.yielded

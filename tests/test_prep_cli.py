@@ -131,3 +131,33 @@ def test_cli_embed_detect_roundtrip(tmp_path, rng):
     assert r.returncode == 0, r.stderr
     d = json.loads(r.stdout)
     assert "mean_probability" in d and d["decision"] in ("WATERMARKED", "NOT WATERMARKED")
+
+
+def test_load_session_dtype_defaults(monkeypatch):
+    """--torch-* imports must default to fp32 compute (strict checkpoint
+    parity, round-1 regression); --compute-dtype overrides either way."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    from awm_tpu import __main__ as cli
+    from awm_tpu import checkpoint as ck
+    from awm_tpu import train as tr
+    from awm_tpu.config import get_config
+
+    base = dict(preset="base", audio_len=512, ckpt=None,
+                torch_generator=None, torch_detector=None, compute_dtype=None)
+    assert cli._load_session(argparse.Namespace(**base)).compute_dtype == jnp.bfloat16
+
+    state, _, _ = tr.init_state(get_config("base"), jax.random.key(0))
+    fresh_dvars = {"params": state.params["det"],
+                   "batch_stats": state.batch_stats["det"]}
+    monkeypatch.setattr(ck, "import_torch_detector", lambda p: fresh_dvars)
+
+    s = cli._load_session(argparse.Namespace(**{**base, "torch_detector": "x.pth"}))
+    assert s.compute_dtype == jnp.float32
+
+    s = cli._load_session(argparse.Namespace(
+        **{**base, "torch_detector": "x.pth", "compute_dtype": "bfloat16"}))
+    assert s.compute_dtype == jnp.bfloat16

@@ -98,3 +98,41 @@ def test_error_paths(server):
     # unknown endpoint
     c.request("POST", "/nope", body=wav, headers={"Content-Length": str(len(wav))})
     assert c.getresponse().status == 404
+
+
+def test_bad_query_params_return_400(server):
+    """Malformed query params must be JSON 400s, not dropped connections."""
+    host, port = server
+    wav = _wav_bytes(np.zeros(1000, np.float32))
+    c = http.client.HTTPConnection(host, port, timeout=30)
+    for req in ("/embed?message=abc", "/embed?message=1&seed=x",
+                "/detect?threshold=garbage"):
+        c.request("POST", req, body=wav,
+                  headers={"Content-Length": str(len(wav))})
+        r = c.getresponse()
+        body = json.loads(r.read())
+        assert r.status == 400 and "bad query parameter" in body["error"], req
+
+
+def test_concurrent_requests(server, rng):
+    """Concurrent detects must all succeed and agree (no global lock; each
+    request stages its own buffers, kernels are thread-safe)."""
+    host, port = server
+    wav = _wav_bytes((0.2 * rng.standard_normal(1600)).astype(np.float32))
+    results = []
+
+    def hit():
+        c = http.client.HTTPConnection(host, port, timeout=120)
+        c.request("POST", "/detect", body=wav,
+                  headers={"Content-Length": str(len(wav))})
+        r = c.getresponse()
+        results.append((r.status, json.loads(r.read())))
+
+    threads = [threading.Thread(target=hit) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 4 and all(s == 200 for s, _ in results)
+    probs = [b["mean_probability"] for _, b in results]
+    assert max(probs) - min(probs) < 1e-6  # same input -> same answer
