@@ -54,8 +54,15 @@ class InferenceSession:
         chunk_len: int = AUDIO_LEN,
         compute_dtype=jnp.bfloat16,
     ):
-        self.gen = gen_module
-        self.det = det_module
+        # Inference precision is governed HERE by casting variables+inputs,
+        # not by the modules' training compute dtype — neutralize any dtype
+        # the training config baked in so compute_dtype=fp32 really is fp32
+        # (strict parity) and bf16 is applied exactly once.
+        def _neutral(m):
+            return m.clone(dtype=None) if "dtype" in getattr(m, "__dataclass_fields__", {}) else m
+
+        self.gen = _neutral(gen_module)
+        self.det = _neutral(det_module)
         self.gen_vars = gen_vars
         self.det_vars = det_vars
         self.message_bits = message_bits

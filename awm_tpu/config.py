@@ -97,8 +97,11 @@ class TrainConfig:
     early_stop_patience: int = 3
     early_stop_min_delta: float = 0.001
     quick_val_every: Optional[int] = None  # main14d: 2000 (ref: py/main14d.py:56)
-    # TPU-specific
-    compute_dtype: str = "bfloat16"  # matmul/conv dtype; fp32 reductions
+    # TPU-specific: conv/BN compute dtype for the TRAINING graph.  bfloat16
+    # halves activation HBM traffic; params, BN statistics, LSTM recurrence,
+    # DSP shaping and all loss reductions stay fp32 (awm_tpu.train._forward).
+    # Use "float32" for strict reference-parity training dynamics.
+    compute_dtype: str = "bfloat16"
     data_axis: str = "data"
     model_axis: str = "model"
 

@@ -9,16 +9,22 @@ from awm_tpu.models.messages import (
 )
 
 
-def build_models(model_cfg):
-    """Instantiate the (generator, detector) pair for a ModelConfig."""
+def build_models(model_cfg, dtype=None):
+    """Instantiate the (generator, detector) pair for a ModelConfig.
+
+    dtype: compute dtype for conv/BN work (None = fp32 promotion semantics,
+    jnp.bfloat16 = mixed precision; params/BN stats/LSTM recurrence stay fp32).
+    """
     if model_cfg.family == "base":
         return (
             Generator(
                 message_bits=model_cfg.message_bits,
                 channels=model_cfg.channels,
                 lstm_impl=model_cfg.lstm_impl,
+                dtype=dtype,
             ),
-            Detector(message_bits=model_cfg.message_bits, channels=model_cfg.channels),
+            Detector(message_bits=model_cfg.message_bits, channels=model_cfg.channels,
+                     dtype=dtype),
         )
     if model_cfg.family == "strided":
         return (
@@ -29,11 +35,13 @@ def build_models(model_cfg):
                 output_channels=model_cfg.output_channels,
                 strides=tuple(model_cfg.strides),
                 lstm_layers=model_cfg.lstm_layers,
+                dtype=dtype,
             ),
             StridedDetector(
                 message_bits=model_cfg.message_bits,
                 base_channels=model_cfg.base_channels,
                 strides=tuple(model_cfg.strides),
+                dtype=dtype,
             ),
         )
     raise ValueError(f"unknown model family {model_cfg.family!r}")

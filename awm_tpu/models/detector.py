@@ -9,6 +9,8 @@ running stats, matching models/detector_best.pth (SURVEY.md section 2.4).
 
 from __future__ import annotations
 
+from typing import Any, Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -16,15 +18,20 @@ from awm_tpu.models.layers import Conv1d, ResBlock
 
 
 class Detector(nn.Module):
-    """Maps (B, T) waveform -> (B, T, 1 + message_bits) logits."""
+    """Maps (B, T) waveform -> (B, T, 1 + message_bits) logits.
+
+    dtype=jnp.bfloat16 runs conv/BN compute in bf16; logits come back in the
+    compute dtype — callers cast to fp32 before sigmoid/loss reductions.
+    """
 
     message_bits: int = 16
     channels: int = 64
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False):
         h = x[..., None]  # (B, T, 1)
-        h = Conv1d(self.channels, 7, padding=3, name="conv_in")(h)
-        h = ResBlock(self.channels, name="res1")(h, train=train)
-        h = ResBlock(self.channels, name="res2")(h, train=train)
-        return Conv1d(1 + self.message_bits, 1, name="conv_out")(h)
+        h = Conv1d(self.channels, 7, padding=3, dtype=self.dtype, name="conv_in")(h)
+        h = ResBlock(self.channels, dtype=self.dtype, name="res1")(h, train=train)
+        h = ResBlock(self.channels, dtype=self.dtype, name="res2")(h, train=train)
+        return Conv1d(1 + self.message_bits, 1, dtype=self.dtype, name="conv_out")(h)

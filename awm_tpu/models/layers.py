@@ -4,9 +4,18 @@ Channels-last (B, T, C) throughout — TPU lane-friendly.  Initializers match
 torch defaults (kaiming-uniform a=sqrt(5) == U(+-1/sqrt(fan_in)) for conv and
 linear weights AND biases; U(+-1/sqrt(H)) for LSTM; N(0,1) for embeddings) so
 training dynamics are comparable with the reference runs.
+
+Mixed precision: every module takes a ``dtype`` — None (default) keeps the
+promotion semantics of whatever flows in (fp32 params -> fp32 compute, the
+strict-parity path); jnp.bfloat16 casts activations AND weight views to bf16
+at the op, halving HBM traffic for the conv/BN-heavy nets, while parameters,
+BN statistics, LSTM recurrence, and all loss reductions stay fp32 (the
+reference's TF32-on-CUDA analogue, ref: py/main14.py:40).
 """
 
 from __future__ import annotations
+
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -33,6 +42,7 @@ class Conv1d(nn.Module):
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -46,6 +56,9 @@ class Conv1d(nn.Module):
             if self.use_bias
             else None
         )
+        if self.dtype is not None:
+            x, w = x.astype(self.dtype), w.astype(self.dtype)
+            b = b.astype(self.dtype) if b is not None else None
         return conv1d(x, w, b, stride=self.stride, padding=self.padding)
 
 
@@ -57,6 +70,7 @@ class ConvTranspose1d(nn.Module):
     stride: int = 1
     padding: int = 0
     output_padding: int = 0
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -67,6 +81,8 @@ class ConvTranspose1d(nn.Module):
             "w", torch_conv_init(fan_in), (self.kernel_size, in_ch, self.features)
         )
         b = self.param("b", torch_conv_init(fan_in), (self.features,))
+        if self.dtype is not None:
+            x, w, b = x.astype(self.dtype), w.astype(self.dtype), b.astype(self.dtype)
         return conv_transpose1d(
             x,
             w,
@@ -89,6 +105,7 @@ class BatchNorm(nn.Module):
     use_running_average: bool
     momentum: float = 0.9
     epsilon: float = 1e-5
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -97,6 +114,7 @@ class BatchNorm(nn.Module):
             momentum=self.momentum,
             epsilon=self.epsilon,
             axis=-1,
+            dtype=self.dtype,
             name="bn",
         )(x)
 
@@ -106,19 +124,25 @@ class ResBlock(nn.Module):
     (ref: py/main14.py:74-87)."""
 
     ch: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = Conv1d(self.ch, 3, padding=1, name="conv1")(x)
+        # flax BatchNorm with dtype=bf16 still computes batch statistics in
+        # fp32 and keeps running stats fp32 (verified: normalization.py
+        # _compute_stats promotes) — only the normalized output is bf16.
+        y = Conv1d(self.ch, 3, padding=1, dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn1",
         )(y)
         y = nn.relu(y)
-        y = Conv1d(self.ch, 3, padding=1, name="conv2")(y)
+        y = Conv1d(self.ch, 3, padding=1, dtype=self.dtype, name="conv2")(y)
         y = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn2",
         )(y)
-        return nn.relu(x + y)
+        return nn.relu(x.astype(y.dtype) + y)
 
 
 class StridedResBlock(nn.Module):
@@ -127,19 +151,22 @@ class StridedResBlock(nn.Module):
 
     features: int
     stride: int = 1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
         downsample = self.stride != 1 or in_ch != self.features
         y = nn.elu(
-            Conv1d(self.features, 3, stride=self.stride, padding=1, name="conv1")(x)
+            Conv1d(self.features, 3, stride=self.stride, padding=1,
+                   dtype=self.dtype, name="conv1")(x)
         )
-        y = Conv1d(self.features, 3, padding=1, name="conv2")(y)
+        y = Conv1d(self.features, 3, padding=1, dtype=self.dtype, name="conv2")(y)
         res = x
         if downsample:
-            res = Conv1d(self.features, 1, stride=self.stride, name="skip")(x)
-        return nn.elu(y + res)
+            res = Conv1d(self.features, 1, stride=self.stride,
+                         dtype=self.dtype, name="skip")(x)
+        return nn.elu(y + res.astype(y.dtype))
 
 
 class LSTM(nn.Module):

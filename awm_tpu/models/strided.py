@@ -18,7 +18,7 @@ faithful cautionary ablation.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -47,13 +47,17 @@ def _pad_or_trim(x: jnp.ndarray, t: int) -> jnp.ndarray:
 
 class Linear(nn.Module):
     features: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
         w = self.param("w", torch_conv_init(fan_in), (fan_in, self.features))
         b = self.param("b", torch_conv_init(fan_in), (self.features,))
-        return jnp.matmul(x, w, preferred_element_type=jnp.float32) + b
+        if self.dtype is not None:
+            x, w, b = x.astype(self.dtype), w.astype(self.dtype), b.astype(self.dtype)
+        out = jnp.matmul(x, w, preferred_element_type=jnp.float32) + b
+        return out.astype(x.dtype)
 
 
 class StridedGenerator(nn.Module):
@@ -63,40 +67,41 @@ class StridedGenerator(nn.Module):
     output_channels: int = 128
     strides: Tuple[int, ...] = (2, 4, 5, 8)
     lstm_layers: int = 2
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, s: jnp.ndarray, message: jnp.ndarray | None = None, *, train: bool = False):
         t = s.shape[-1]
         x = s[..., None]
-        x = Conv1d(self.base_channels, 7, padding=3, name="init_conv")(x)
+        x = Conv1d(self.base_channels, 7, padding=3, dtype=self.dtype, name="init_conv")(x)
         ch = self.base_channels
         for i, st in enumerate(self.strides):
             ch *= 2
-            x = StridedResBlock(ch, stride=st, name=f"enc{i}")(x)
+            x = StridedResBlock(ch, stride=st, dtype=self.dtype, name=f"enc{i}")(x)
 
-        x = Linear(self.hidden_dim, name="proj")(x)
+        x = Linear(self.hidden_dim, dtype=self.dtype, name="proj")(x)
 
         if message is not None and self.message_bits > 0:
             emb = Embedding(2**self.message_bits, self.hidden_dim, name="embedding")(
                 message
             )
-            x = x + emb[:, None, :]
+            x = x + emb[:, None, :].astype(x.dtype)
 
         for i in range(self.lstm_layers):
             x = LSTM(self.hidden_dim, name=f"lstm{i}")(x)
 
-        x = Conv1d(self.output_channels, 7, padding=3, name="final_conv_enc")(x)
+        x = Conv1d(self.output_channels, 7, padding=3, dtype=self.dtype, name="final_conv_enc")(x)
 
         in_ch = self.output_channels
         for i, st in enumerate(reversed(self.strides)):
             out_ch = in_ch // 2
             x = ConvTranspose1d(
-                out_ch, 2 * st, stride=st, padding=st // 2, name=f"dec_up{i}"
+                out_ch, 2 * st, stride=st, padding=st // 2, dtype=self.dtype, name=f"dec_up{i}"
             )(x)
-            x = StridedResBlock(out_ch, stride=1, name=f"dec_res{i}")(x)
+            x = StridedResBlock(out_ch, stride=1, dtype=self.dtype, name=f"dec_res{i}")(x)
             in_ch = out_ch
 
-        x = Conv1d(1, 7, padding=3, name="final_conv_dec")(x)
+        x = Conv1d(1, 7, padding=3, dtype=self.dtype, name="final_conv_dec")(x)
         return _pad_or_trim(x, t)[..., 0]
 
 
@@ -104,25 +109,26 @@ class StridedDetector(nn.Module):
     message_bits: int = 16
     base_channels: int = 32
     strides: Tuple[int, ...] = (2, 4, 5, 8)
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False):
         t = x.shape[-1]
         h = x[..., None]
-        h = Conv1d(self.base_channels, 7, padding=3, name="init_conv")(h)
+        h = Conv1d(self.base_channels, 7, padding=3, dtype=self.dtype, name="init_conv")(h)
         ch = self.base_channels
         for i, st in enumerate(self.strides):
             ch *= 2
-            h = StridedResBlock(ch, stride=st, name=f"enc{i}")(h)
+            h = StridedResBlock(ch, stride=st, dtype=self.dtype, name=f"enc{i}")(h)
 
         in_ch = ch
         for i, st in enumerate(reversed(self.strides)):
             out_ch = in_ch // 2
             h = ConvTranspose1d(
-                out_ch, 2 * st, stride=st, padding=st // 2, name=f"up{i}"
+                out_ch, 2 * st, stride=st, padding=st // 2, dtype=self.dtype, name=f"up{i}"
             )(h)
-            h = StridedResBlock(out_ch, stride=1, name=f"up_res{i}")(h)
+            h = StridedResBlock(out_ch, stride=1, dtype=self.dtype, name=f"up_res{i}")(h)
             in_ch = out_ch
 
-        h = Conv1d(1 + self.message_bits, 7, padding=3, name="final_conv")(h)
+        h = Conv1d(1 + self.message_bits, 7, padding=3, dtype=self.dtype, name="final_conv")(h)
         return _pad_or_trim(h, t)  # (B, T, 1+bits) logits

@@ -35,6 +35,16 @@ class TrainState(flax.struct.PyTreeNode):
     opt_state: Any
 
 
+def compute_dtype_of(cfg: Config):
+    """Map TrainConfig.compute_dtype to a module dtype (None = fp32)."""
+    name = cfg.train.compute_dtype
+    if name in (None, "float32", "fp32"):
+        return None
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(f"unknown compute_dtype {name!r}")
+
+
 def make_schedule(cfg: Config, steps_per_epoch: int = 1000):
     sch = cfg.train.schedule
     if sch.kind == "constant":
@@ -63,7 +73,7 @@ def init_state(
 
     Returns (state, generator_module, detector_module).
     """
-    gen, det = build_models(cfg.model)
+    gen, det = build_models(cfg.model, dtype=compute_dtype_of(cfg))
     kg, kd = jax.random.split(rng)
     s = jnp.zeros((2, cfg.audio_len), jnp.float32)
     msg = jnp.zeros((2,), jnp.int32)
@@ -96,7 +106,9 @@ def _forward(cfg, gen, det, params, batch_stats, s, message, *, train: bool, aug
         delta = gen.apply(gvars, s, message, train=False)
         new_gbs = batch_stats["gen"]
 
-    delta = shape_delta(delta, cfg.shaping, cfg.sample_rate)
+    # DSP shaping, channel sim and every loss reduction run fp32 regardless
+    # of the models' compute dtype (mixed-precision boundary)
+    delta = shape_delta(delta.astype(jnp.float32), cfg.shaping, cfg.sample_rate)
     s_w = s + delta
     if cfg.shaping.clamp_watermarked:
         s_w = jnp.clip(s_w, -1.0, 1.0)
@@ -120,7 +132,7 @@ def _forward(cfg, gen, det, params, batch_stats, s, message, *, train: bool, aug
         logits = det.apply(dvars, combined, train=False)
         new_dbs = batch_stats["det"]
 
-    return delta, s_w, logits, {"gen": new_gbs, "det": new_dbs}
+    return delta, s_w, logits.astype(jnp.float32), {"gen": new_gbs, "det": new_dbs}
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "gen", "det", "tx"))

@@ -15,8 +15,13 @@ from awm_tpu import train as tr
 from awm_tpu.parallel import make_mesh, shard_batch, shard_state, param_spec
 
 
-def _cfg(t=512):
-    return dataclasses.replace(get_config("base"), audio_len=t)
+def _cfg(t=512, dtype="float32"):
+    # fp32 by default: the strict SPMD-vs-single-device equivalence bounds
+    # below assume fp32 numerics (bf16 has a dedicated looser test)
+    cfg = dataclasses.replace(get_config("base"), audio_len=t)
+    return dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, compute_dtype=dtype)
+    )
 
 
 def test_mesh_shapes():
@@ -112,3 +117,27 @@ def test_entry_contract():
     s_w, logits = out
     assert s_w.shape == (4, 16000)
     assert logits.shape == (8, 16000, 17)
+
+
+def test_parallel_bf16_train_step():
+    """The bf16 mixed-precision step must run and make progress under the
+    mesh (SPMD + mixed precision compose)."""
+    cfg = _cfg(dtype="bfloat16")
+    rng = np.random.default_rng(2)
+    batch = jnp.asarray(rng.standard_normal((16, cfg.audio_len)).astype(np.float32) * 0.3)
+    mesh = make_mesh(8)
+    state, gen, det = tr.init_state(cfg, jax.random.key(0))
+    tx = tr.make_optimizer(cfg)
+    state = shard_state(state, mesh)
+    b = shard_batch(batch, mesh)
+    losses = []
+    for _ in range(8):
+        state, terms = tr.train_step(cfg, gen, det, tx, state, b, jax.random.key(0))
+        losses.append(float(terms["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # params and optimizer state stay fp32 (mixed-precision invariant)
+    assert all(
+        leaf.dtype == jnp.float32
+        for leaf in jax.tree.leaves(state.params)
+    )

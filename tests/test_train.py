@@ -110,3 +110,34 @@ def test_early_stopping():
     for v in [1.0, 0.9, 0.8999, 0.8999]:
         es.step(v)
     assert es.early_stop
+
+
+def test_bf16_fp32_loss_trajectory_parity(batch):
+    """Mixed-precision invariants: identical init (init is dtype-independent),
+    a tracking loss trajectory, fp32 params/grads, and bf16 progress."""
+    import dataclasses
+
+    traj = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = _tiny_cfg()
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, compute_dtype=dt)
+        )
+        state, gen, det = tr.init_state(cfg, jax.random.key(0))
+        tx = tr.make_optimizer(cfg)
+        losses = []
+        for _ in range(60):
+            state, terms = tr.train_step(cfg, gen, det, tx, state, batch, jax.random.key(5))
+            losses.append(float(terms["total"]))
+        traj[dt] = np.asarray(losses)
+        assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(state.params)), dt
+    a, b = traj["float32"], traj["bfloat16"]
+    # the raw trajectory is noisy (the loud term swings 4x step to step), so:
+    # learning = windowed means; parity = per-step rel diff over the first 10
+    # steps, before bf16 rounding compounds through the weights
+    assert np.mean(b[-10:]) < np.mean(b[:10])  # bf16 path learns
+    rel = np.abs(a[:5] - b[:5]) / np.maximum(np.abs(a[:5]), 1e-6)
+    assert rel.max() < 0.10, (rel.max(), a[:5], b[:5])
+    # end state in the same regime (quadratic loud term amplifies the
+    # compounding bf16 rounding, so only a coarse bound is meaningful)
+    assert abs(np.mean(a[-10:]) - np.mean(b[-10:])) / np.mean(a[-10:]) < 0.5
