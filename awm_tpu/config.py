@@ -27,9 +27,10 @@ class ModelConfig:
 
     family: str = "base"  # "base" | "strided"
     message_bits: int = 16
-    # LSTM implementation: 'auto' (Pallas kernels on TPU, scan elsewhere),
-    # 'scan', or 'pallas'.  Force 'scan' for multi-chip SPMD runs until the
-    # kernel is shard_map-wrapped (single-chip + CPU-mesh dryrun are fine).
+    # LSTM implementation: 'auto' (Pallas kernels on TPU for B>=8, scan
+    # elsewhere), 'scan', or 'pallas'.  Multi-chip safe: under an active
+    # mesh context (trainer/dryrun install jax.sharding.set_mesh) the kernel
+    # is shard_map-wrapped over the data axis (ops/pallas/lstm_fused_auto).
     lstm_impl: str = "auto"
     channels: int = 64  # base family conv width (ref: py/main14.py:95)
     # strided family (ref: py/main14b_2.py:43-48)

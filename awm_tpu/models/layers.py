@@ -212,9 +212,9 @@ class LSTM(nn.Module):
             and x.shape[0] >= 8
         )
         if use_pallas:
-            from awm_tpu.ops.pallas.lstm_kernel import lstm_fused
+            from awm_tpu.ops.pallas.lstm_kernel import lstm_fused_auto
 
-            return lstm_fused(x, w_ih, w_hh, b)
+            return lstm_fused_auto(x, w_ih, w_hh, b)
         return lstm_forward(x, w_ih, w_hh, b, unroll=self.unroll)
 
 

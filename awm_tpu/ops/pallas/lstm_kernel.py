@@ -389,3 +389,35 @@ def _fused_bwd(residuals, g):
 
 
 lstm_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def lstm_fused_auto(x, w_ih, w_hh, b, *, data_axis: str = "data"):
+    """lstm_fused, made multi-chip-safe.
+
+    A pallas_call is an opaque custom call to GSPMD: under plain jit on a
+    mesh it forces an all-gather of the batch and runs replicated on every
+    chip.  When a mesh context is active (jax.sharding.set_mesh — the
+    trainer and dryrun install it), wrap the kernel in shard_map over the
+    data axis so each chip runs the kernel on its own batch shard; weights
+    stay replicated and shard_map's transpose inserts the gradient psum
+    over ICI automatically.  Without a mesh context (single chip) this is
+    exactly lstm_fused.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if (
+        mesh is None
+        or mesh.empty
+        or data_axis not in mesh.axis_names
+        or mesh.shape[data_axis] == 1
+        or x.shape[0] % mesh.shape[data_axis]
+    ):
+        return lstm_fused(x, w_ih, w_hh, b)
+    from jax.sharding import PartitionSpec as P
+
+    f = jax.shard_map(
+        lstm_fused,
+        in_specs=(P(data_axis, None, None), P(), P(), P()),
+        out_specs=P(data_axis, None, None),
+        check_vma=False,  # pallas out_shapes carry no vma; grads verified
+    )
+    return f(x, w_ih, w_hh, b)

@@ -82,6 +82,37 @@ def fit(
 
     Returns {state, gen, det, history, best_val, stopped_early}.
     """
+    import contextlib
+
+    with contextlib.ExitStack() as stack:
+        if mesh is not None:
+            # mesh context: lets mesh-aware ops (the shard_map-wrapped
+            # Pallas LSTM, ops/pallas/lstm_fused_auto) see the mesh while
+            # the step traces; all step calls share one trace context
+            stack.enter_context(jax.sharding.set_mesh(mesh))
+        return _fit(
+            cfg, train_batches, val_batches, ckpt_dir=ckpt_dir, epochs=epochs,
+            steps_per_epoch=steps_per_epoch, seed=seed, mesh=mesh,
+            init_from=init_from, log_path=log_path, plot_path=plot_path,
+            verbose=verbose,
+        )
+
+
+def _fit(
+    cfg: Config,
+    train_batches: Iterable,
+    val_batches,
+    *,
+    ckpt_dir: Optional[str] = None,
+    epochs: Optional[int] = None,
+    steps_per_epoch: Optional[int] = None,
+    seed: int = 42,
+    mesh=None,
+    init_from: Optional[str] = None,
+    log_path: Optional[str] = None,
+    plot_path: Optional[str] = None,
+    verbose: bool = True,
+) -> Dict:
     epochs = epochs if epochs is not None else cfg.train.epochs
     rng = jax.random.key(seed)
     spe = steps_per_epoch or (len(train_batches) if hasattr(train_batches, "__len__") else 1000)

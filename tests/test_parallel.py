@@ -141,3 +141,59 @@ def test_parallel_bf16_train_step():
         leaf.dtype == jnp.float32
         for leaf in jax.tree.leaves(state.params)
     )
+
+
+def test_pallas_lstm_shard_map_spmd_equivalence(rng):
+    """lstm_impl='pallas' under the mesh: the shard_map-wrapped kernel
+    (interpret mode on CPU) must match the scan path, forward AND grads —
+    the multi-chip-safety contract for the production kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import NamedSharding
+
+    from awm_tpu.ops.lstm import lstm_forward
+    from awm_tpu.ops.pallas.lstm_kernel import lstm_fused_auto
+
+    mesh = make_mesh(8, model_parallel=1)
+    b, t, d = 8, 32, 16
+    h = 16
+    x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32) * 0.3)
+    w_ih = jnp.asarray(rng.standard_normal((4 * h, d)).astype(np.float32) * 0.1)
+    w_hh = jnp.asarray(rng.standard_normal((4 * h, h)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.standard_normal((4 * h,)).astype(np.float32) * 0.1)
+
+    ref_y = lstm_forward(x, w_ih, w_hh, bias)
+    ref_g = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(lstm_forward(*a))), argnums=(0, 1, 2, 3)
+    )(x, w_ih, w_hh, bias)
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    with jax.sharding.set_mesh(mesh), pltpu.force_tpu_interpret_mode():
+        y = jax.jit(lstm_fused_auto)(xs, w_ih, w_hh, bias)
+        got_g = jax.jit(
+            jax.grad(lambda *a: jnp.sum(jnp.sin(lstm_fused_auto(*a))), argnums=(0, 1, 2, 3))
+        )(xs, w_ih, w_hh, bias)
+
+    assert "data" in str(y.sharding.spec) or y.sharding.is_fully_replicated is False
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=2e-5)
+    for name, a, c in zip(("dx", "dw_ih", "dw_hh", "db"), got_g, ref_g):
+        denom = float(jnp.abs(c).max()) + 1e-9
+        rel = float(jnp.abs(a - c).max()) / denom
+        assert rel < 1e-4, (name, rel)
+
+
+def test_lstm_fused_auto_no_mesh_is_plain_kernel(rng):
+    """Without a mesh context, lstm_fused_auto must behave exactly like the
+    plain kernel (single-chip path unchanged)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from awm_tpu.ops.pallas.lstm_kernel import lstm_fused, lstm_fused_auto
+
+    b, t, d = 2, 32, 16
+    x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32) * 0.3)
+    w_ih = jnp.asarray(rng.standard_normal((4 * d, d)).astype(np.float32) * 0.1)
+    w_hh = jnp.asarray(rng.standard_normal((4 * d, d)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.standard_normal((4 * d,)).astype(np.float32) * 0.1)
+    with pltpu.force_tpu_interpret_mode():
+        a = lstm_fused_auto(x, w_ih, w_hh, bias)
+        c = lstm_fused(x, w_ih, w_hh, bias)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
