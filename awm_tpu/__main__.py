@@ -195,7 +195,8 @@ def cmd_prep(args):
         print(f"wrote {n} clips to {args.output}")
     elif args.prep_cmd == "classify":
         print(json.dumps(prep.classify_folder(
-            args.dir, args.output, workers=args.workers, max_files=args.max_files
+            args.dir, args.output, workers=args.workers, max_files=args.max_files,
+            full=args.full,
         ), indent=2))
     elif args.prep_cmd == "speech-only":
         n = prep.copy_speech_only(args.list, args.output)
@@ -295,6 +296,9 @@ def main(argv=None):
     q.add_argument("--workers", type=int, default=8)
     q = psub.add_parser("classify"); q.add_argument("dir"); q.add_argument("output")
     q.add_argument("--workers", type=int, default=8); q.add_argument("--max-files", type=int)
+    q.add_argument("--full", action="store_true",
+                   help="record the full noise.py feature set (MFCC stats, "
+                   "spectral bandwidth/rolloff, order-5 band filter)")
     q = psub.add_parser("speech-only"); q.add_argument("list"); q.add_argument("output")
     q = psub.add_parser("silent"); q.add_argument("dir")
     q.add_argument("--threshold", type=float, default=1e-4)

@@ -187,11 +187,102 @@ def segment_to_clips(
 # speech/noise heuristic classifier
 
 
-def analyze_audio(path_or_array, sr: int = 16000) -> Dict:
+def _stft_mag(y: np.ndarray, n_fft: int = 2048, hop: int = 512) -> np.ndarray:
+    """Centered Hann-window STFT magnitude, librosa-compatible framing
+    (reflect-padded, frames = 1 + len//hop).  Returns (n_fft//2+1, frames)."""
+    pad = n_fft // 2
+    if len(y) < 2:
+        y = np.pad(y, (0, 2 - len(y)))
+    yp = np.pad(y, pad, mode="reflect" if len(y) > pad else "constant")
+    n_frames = 1 + (len(yp) - n_fft) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    # periodic Hann (librosa/scipy sym=False)
+    win = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft))
+    return np.abs(np.fft.rfft(yp[idx] * win, axis=1)).T
+
+
+def _hz_to_mel(f):
+    """Slaney mel scale (librosa default, htk=False)."""
+    f = np.asarray(f, dtype=np.float64)
+    mel = f / (200.0 / 3)
+    log_region = f >= 1000.0
+    mel = np.where(
+        log_region, 15.0 + np.log(np.maximum(f, 1e-10) / 1000.0) / (np.log(6.4) / 27.0), mel
+    )
+    return mel
+
+
+def _mel_to_hz(m):
+    m = np.asarray(m, dtype=np.float64)
+    f = m * (200.0 / 3)
+    log_region = m >= 15.0
+    return np.where(log_region, 1000.0 * np.exp((np.log(6.4) / 27.0) * (m - 15.0)), f)
+
+
+def _mel_filterbank(sr: int, n_fft: int, n_mels: int = 128) -> np.ndarray:
+    """Slaney-normalized triangular mel filterbank, (n_mels, n_fft//2+1)."""
+    fft_freqs = np.fft.rfftfreq(n_fft, 1.0 / sr)
+    mel_pts = _mel_to_hz(np.linspace(_hz_to_mel(0.0), _hz_to_mel(sr / 2.0), n_mels + 2))
+    fb = np.zeros((n_mels, len(fft_freqs)))
+    for i in range(n_mels):
+        lo, ce, hi = mel_pts[i], mel_pts[i + 1], mel_pts[i + 2]
+        up = (fft_freqs - lo) / max(ce - lo, 1e-10)
+        down = (hi - fft_freqs) / max(hi - ce, 1e-10)
+        fb[i] = np.maximum(0.0, np.minimum(up, down))
+        fb[i] *= 2.0 / (hi - lo)  # slaney area norm
+    return fb
+
+
+def _dct_ortho(x: np.ndarray, n_out: int) -> np.ndarray:
+    """Orthonormal DCT-II over axis 0 (scipy.fft.dct type=2 norm='ortho'),
+    first n_out coefficients.  x: (n_in, frames)."""
+    n_in = x.shape[0]
+    k = np.arange(n_out)[:, None]
+    n = np.arange(n_in)[None, :]
+    basis = np.cos(np.pi * k * (2 * n + 1) / (2.0 * n_in))
+    scale = np.full((n_out, 1), np.sqrt(2.0 / n_in))
+    scale[0, 0] = np.sqrt(1.0 / n_in)
+    return (basis * scale) @ x
+
+
+def full_spectral_features(y: np.ndarray, sr: int, n_mfcc: int = 13) -> Dict:
+    """librosa-equivalent framewise features of the FULL noise.py analyzer
+    (ref: dataset_creation/noise.py:49-68): spectral centroid/bandwidth/
+    rolloff means and 13-coefficient MFCC mean/var — all librosa-free
+    (STFT/mel/DCT implemented above, validated against scipy in
+    tests/test_prep_cli.py)."""
+    s = _stft_mag(y)  # (freqs, frames)
+    freqs = np.fft.rfftfreq(2048, 1.0 / sr)[:, None]
+    total = s.sum(axis=0) + 1e-10
+    centroid = (freqs * s).sum(axis=0) / total
+    bandwidth = np.sqrt(((np.abs(freqs - centroid) ** 2) * s).sum(axis=0) / total)
+    cum = np.cumsum(s, axis=0)
+    rolloff_idx = np.argmax(cum >= 0.85 * cum[-1:], axis=0)
+    rolloff = freqs[rolloff_idx, 0]
+
+    mel = _mel_filterbank(sr, 2048) @ (s**2)  # power melspectrogram
+    db = 10.0 * np.log10(np.maximum(mel, 1e-10))
+    db = np.maximum(db, db.max() - 80.0)  # top_db=80
+    mfcc = _dct_ortho(db, n_mfcc)  # (n_mfcc, frames)
+    return {
+        "spectral_centroid": float(centroid.mean()),
+        "spectral_bandwidth": float(bandwidth.mean()),
+        "rolloff": float(rolloff.mean()),
+        "mfcc_mean": float(mfcc.mean(axis=1).mean()),
+        "mfcc_var": float(mfcc.var(axis=1).mean()),
+    }
+
+
+def analyze_audio(path_or_array, sr: int = 16000, *, full: bool = False) -> Dict:
     """Feature extraction for the speech/noise heuristic
     (ref: dataset_creation/noise_mul.py:21-99): total energy, 300-3000 Hz
     Butterworth band energy, zero-crossing rate, FFT spectral centroid,
-    kurtosis, 10ms-frame energy std, speech-to-noise ratio."""
+    kurtosis, 10ms-frame energy std, speech-to-noise ratio.
+
+    full=True reproduces the FULL noise.py analyzer
+    (ref: dataset_creation/noise.py:10-90): order-5 Butterworth band filter,
+    framewise (librosa-equivalent) spectral centroid, plus spectral
+    bandwidth, rolloff, and 13-coefficient MFCC mean/var."""
     try:
         if isinstance(path_or_array, str):
             wav, fsr = load_audio(path_or_array)
@@ -206,7 +297,9 @@ def analyze_audio(path_or_array, sr: int = 16000) -> Dict:
         results["energy"] = energy
 
         nyq = 0.5 * sr
-        b, a = butter(3, [300 / nyq, 3000 / nyq], btype="band")
+        # noise.py uses order 5 (ref: dataset_creation/noise.py:28); the
+        # reduced noise_mul heuristic used a shallower band filter
+        b, a = butter(5 if full else 3, [300 / nyq, 3000 / nyq], btype="band")
         y_speech = lfilter(b, a, y)
         speech_energy = float(np.mean(y_speech**2))
         results["speech_band_energy"] = speech_energy
@@ -215,9 +308,14 @@ def analyze_audio(path_or_array, sr: int = 16000) -> Dict:
             np.mean(np.abs(np.diff(np.signbit(y).astype(int))))
         )
 
-        fft = np.abs(np.fft.rfft(y))
-        freqs = np.fft.rfftfreq(len(y), 1 / sr)
-        results["spectral_centroid"] = float(np.sum(freqs * fft) / (np.sum(fft) + 1e-8))
+        if full:
+            results.update(full_spectral_features(y, sr))
+        else:
+            fft = np.abs(np.fft.rfft(y))
+            freqs = np.fft.rfftfreq(len(y), 1 / sr)
+            results["spectral_centroid"] = float(
+                np.sum(freqs * fft) / (np.sum(fft) + 1e-8)
+            )
 
         results["kurtosis"] = float(_kurtosis(y))
 
@@ -265,9 +363,17 @@ def classify_folder(
     workers: int = 8,
     max_files: Optional[int] = None,
     exts: Sequence[str] = (".wav",),
+    full: bool = False,
 ) -> Dict[str, int]:
     """Classify every file; writes audio_classification_results.csv,
-    speech_files.txt, noise_files.txt (ref: noise_mul.py:139-307)."""
+    speech_files.txt, noise_files.txt (ref: noise_mul.py:139-307).
+
+    full=True records the FULL noise.py feature set per file (spectral
+    bandwidth/rolloff, MFCC stats — ref: dataset_creation/noise.py:49-90);
+    the classification score uses the same 6 features either way, exactly
+    as the reference's two scripts share one scoring rule."""
+    import functools
+
     files: List[str] = []
     for ext in exts:
         files.extend(sorted(glob.glob(os.path.join(audio_dir, "**", f"*{ext}"), recursive=True)))
@@ -276,13 +382,15 @@ def classify_folder(
     os.makedirs(output_dir, exist_ok=True)
 
     with cf.ThreadPoolExecutor(max_workers=workers) as pool:
-        feats = list(pool.map(analyze_audio, files))
+        feats = list(pool.map(functools.partial(analyze_audio, full=full), files))
     labels = [classify_speech_noise(f) for f in feats]
 
     with open(os.path.join(output_dir, "audio_classification_results.csv"), "w", newline="") as f:
         keys = ["file_path", "duration", "energy", "speech_band_energy",
                 "zero_crossing_rate", "spectral_centroid", "kurtosis",
                 "energy_std", "speech_to_noise_ratio"]
+        if full:
+            keys += ["spectral_bandwidth", "rolloff", "mfcc_mean", "mfcc_var"]
         w = csv.writer(f)
         w.writerow(keys + ["classification"])
         for feat, lab in zip(feats, labels):

@@ -161,3 +161,70 @@ def test_load_session_dtype_defaults(monkeypatch):
     s = cli._load_session(argparse.Namespace(
         **{**base, "torch_detector": "x.pth", "compute_dtype": "bfloat16"}))
     assert s.compute_dtype == jnp.bfloat16
+
+
+# -- full noise.py feature set (ref: dataset_creation/noise.py:10-90) --------
+
+
+def test_dct_ortho_matches_scipy():
+    from scipy.fft import dct as scipy_dct
+
+    from awm_tpu.data.prep import _dct_ortho
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((128, 7))
+    ours = _dct_ortho(x, 13)
+    ref = scipy_dct(x, type=2, norm="ortho", axis=0)[:13]
+    np.testing.assert_allclose(ours, ref, atol=1e-10)
+
+
+def test_mel_scale_inverse_and_filterbank():
+    from awm_tpu.data.prep import _hz_to_mel, _mel_to_hz, _mel_filterbank
+
+    f = np.array([0.0, 250.0, 999.0, 1000.0, 4000.0, 8000.0])
+    np.testing.assert_allclose(_mel_to_hz(_hz_to_mel(f)), f, rtol=1e-9)
+    fb = _mel_filterbank(16000, 2048, n_mels=128)
+    assert fb.shape == (128, 1025)
+    assert (fb >= 0).all()
+    # triangle peaks move monotonically up in frequency
+    peaks = fb.argmax(axis=1)
+    assert (np.diff(peaks) >= 0).all() and peaks[-1] > peaks[0]
+
+
+def test_framewise_spectral_features_on_tones(rng):
+    """Centroid/rolloff of a pure tone sit at the tone; bandwidth of a tone
+    is far below white noise's."""
+    from awm_tpu.data.prep import full_spectral_features
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    noise = (0.3 * rng.standard_normal(sr)).astype(np.float32)
+    ft = full_spectral_features(tone, sr)
+    fn = full_spectral_features(noise, sr)
+    assert abs(ft["spectral_centroid"] - 1000) < 60, ft["spectral_centroid"]
+    assert abs(ft["rolloff"] - 1000) < 60, ft["rolloff"]
+    assert ft["spectral_bandwidth"] < 0.25 * fn["spectral_bandwidth"]
+    assert fn["spectral_centroid"] > 2500  # white noise centroid ~ sr/4
+
+
+def test_mfcc_separates_speech_from_noise(corpus):
+    """MFCC variance over time is higher for AM-modulated speech-like audio
+    than for stationary noise (the reference logs these stats per file)."""
+    from awm_tpu.data.prep import analyze_audio
+
+    speech = analyze_audio(os.path.join(corpus, "speech.wav"), full=True)
+    noise = analyze_audio(os.path.join(corpus, "noise.wav"), full=True)
+    for k in ("spectral_bandwidth", "rolloff", "mfcc_mean", "mfcc_var"):
+        assert k in speech and np.isfinite(speech[k]), k
+    assert speech["mfcc_var"] > noise["mfcc_var"]
+
+
+def test_classify_folder_full_mode(corpus, tmp_path):
+    from awm_tpu.data.prep import classify_folder
+
+    out = classify_folder(corpus, str(tmp_path / "full"), workers=2, full=True)
+    assert out["speech"] >= 1 and out["noise"] >= 1
+    header = open(str(tmp_path / "full" / "audio_classification_results.csv")).readline()
+    for col in ("spectral_bandwidth", "rolloff", "mfcc_mean", "mfcc_var"):
+        assert col in header, col
