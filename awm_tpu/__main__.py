@@ -61,10 +61,18 @@ def _load_session(args):
         return InferenceSession.from_state(cfg, gen, det, state, compute_dtype=dtype)
     gvars = {"params": state.params["gen"], "batch_stats": state.batch_stats["gen"]}
     dvars = {"params": state.params["det"], "batch_stats": state.batch_stats["det"]}
+    strided = cfg.model.family == "strided"
+    n_strides = len(cfg.model.strides)
     if getattr(args, "torch_generator", None):
-        gvars = ck.import_torch_generator(args.torch_generator)
+        gvars = (
+            ck.import_torch_strided_generator(args.torch_generator, n_strides)
+            if strided else ck.import_torch_generator(args.torch_generator)
+        )
     if getattr(args, "torch_detector", None):
-        dvars = ck.import_torch_detector(args.torch_detector)
+        dvars = (
+            ck.import_torch_strided_detector(args.torch_detector, n_strides)
+            if strided else ck.import_torch_detector(args.torch_detector)
+        )
     return InferenceSession(gen, det, gvars, dvars,
                             message_bits=cfg.message_bits,
                             sample_rate=cfg.sample_rate,

@@ -166,6 +166,75 @@ def import_torch_detector(path: str) -> Dict[str, Any]:
     }
 
 
+def _strided_resblock(sd, key):
+    """main14b_2 ResidualBlock: conv1, conv2, optional skip_conv
+    (ref: py/main14b_2.py:86-103)."""
+    p = {"conv1": _conv(sd, f"{key}.conv1"), "conv2": _conv(sd, f"{key}.conv2")}
+    if f"{key}.skip_conv.weight" in sd:
+        p["skip"] = _conv(sd, f"{key}.skip_conv")
+    return p
+
+
+def _lstm_layers(sd, key):
+    """torch nn.LSTM(num_layers=N) -> {lstm0..lstmN-1} param dicts, biases
+    summed (they only ever appear added)."""
+    out = {}
+    layer = 0
+    while f"{key}.weight_ih_l{layer}" in sd:
+        out[f"lstm{layer}"] = {
+            "w_ih": jnp.asarray(sd[f"{key}.weight_ih_l{layer}"]),
+            "w_hh": jnp.asarray(sd[f"{key}.weight_hh_l{layer}"]),
+            "b": jnp.asarray(
+                sd[f"{key}.bias_ih_l{layer}"] + sd[f"{key}.bias_hh_l{layer}"]
+            ),
+        }
+        layer += 1
+    return out
+
+
+def import_torch_strided_generator(path: str, n_strides: int = 4) -> Dict[str, Any]:
+    """main14b_2 generator .pth -> variables for awm_tpu.models.StridedGenerator
+    (torch layout: E embedding, init_conv, encoder_blocks.{i} ResidualBlocks,
+    proj Linear, lstm (2-layer), final_conv_enc, decoder_blocks alternating
+    ConvTranspose1d / ResidualBlock, final_conv_dec;
+    ref: py/main14b_2.py:105-178)."""
+    sd = _load_torch_state_dict(path)
+    params: Dict[str, Any] = {
+        "init_conv": _conv(sd, "init_conv"),
+        # torch Linear weight (out, in) -> ours (in, out)
+        "proj": {
+            "w": jnp.asarray(sd["proj.weight"].T),
+            "b": jnp.asarray(sd["proj.bias"]),
+        },
+        "embedding": {"table": jnp.asarray(sd["E.weight"])},
+        "final_conv_enc": _conv(sd, "final_conv_enc"),
+        "final_conv_dec": _conv(sd, "final_conv_dec"),
+    }
+    params.update(_lstm_layers(sd, "lstm"))
+    for i in range(n_strides):
+        params[f"enc{i}"] = _strided_resblock(sd, f"encoder_blocks.{i}")
+        params[f"dec_up{i}"] = _conv_t(sd, f"decoder_blocks.{2 * i}")
+        params[f"dec_res{i}"] = _strided_resblock(sd, f"decoder_blocks.{2 * i + 1}")
+    return {"params": params, "batch_stats": {}}
+
+
+def import_torch_strided_detector(path: str, n_strides: int = 4) -> Dict[str, Any]:
+    """main14b_2 detector .pth -> variables for awm_tpu.models.StridedDetector
+    (torch layout: init_conv, encoder_blocks.{i}, upsample_blocks alternating
+    ConvTranspose1d / ResidualBlock, final_conv;
+    ref: py/main14b_2.py:180-224)."""
+    sd = _load_torch_state_dict(path)
+    params: Dict[str, Any] = {
+        "init_conv": _conv(sd, "init_conv"),
+        "final_conv": _conv(sd, "final_conv"),
+    }
+    for i in range(n_strides):
+        params[f"enc{i}"] = _strided_resblock(sd, f"encoder_blocks.{i}")
+        params[f"up{i}"] = _conv_t(sd, f"upsample_blocks.{2 * i}")
+        params[f"up_res{i}"] = _strided_resblock(sd, f"upsample_blocks.{2 * i + 1}")
+    return {"params": params, "batch_stats": {}}
+
+
 def import_torch_generator(path: str) -> Dict[str, Any]:
     """generator_best.pth -> variables for awm_tpu.models.Generator
     (torch layout: encoder.0 conv, encoder.1/2 ResBlocks, lstm, embedding,

@@ -117,6 +117,14 @@ def evaluate_unseen_file(
         out["stoi"] = stoi(wav, wm, session.sample_rate)
     except Exception:
         out["stoi"] = float("nan")
+    # optional wide-band PESQ, present only when the pesq package is
+    # installed (ref: py/main14.py:1186-1195); STOI/SI-SNR above are the
+    # documented fallbacks when it is not
+    from awm_tpu.dsp.stoi import pesq_score
+
+    p = pesq_score(wav, wm, session.sample_rate)
+    if p is not None:
+        out["pesq"] = p
     return out
 
 

@@ -6,6 +6,9 @@ from awm_tpu.parallel.mesh import (
     shard_batch,
     batch_sharding,
     replicated,
+    initialize_distributed,
+    make_global_mesh,
+    shard_batch_from_process_local,
 )
 
 __all__ = [
@@ -16,4 +19,7 @@ __all__ = [
     "shard_batch",
     "batch_sharding",
     "replicated",
+    "initialize_distributed",
+    "make_global_mesh",
+    "shard_batch_from_process_local",
 ]

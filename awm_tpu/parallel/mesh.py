@@ -103,3 +103,75 @@ def shard_batch(batch: jnp.ndarray, mesh: Mesh):
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# multi-host (multi-process) readiness
+#
+# The reference is strictly single-process (SURVEY.md section 2.5).  This
+# build's multi-host story: one JAX process per host, jax.distributed wiring
+# the coordinator, and ONE global ('data', 'model') mesh over all processes'
+# devices.  Axis placement follows the bandwidth hierarchy: 'model'
+# (tensor-parallel embedding shards, per-lookup collectives) stays INSIDE a
+# host's ICI domain; 'data' (one gradient all-reduce per step) spans hosts,
+# so only the low-frequency collective ever rides DCN.  Untestable on this
+# single-chip image — the CPU-mesh tests below exercise the same code path
+# with n_processes=1, which JAX treats identically.
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host entry point: wire this process into the cluster.
+
+    On TPU pods with standard env (TPU_WORKER_HOSTNAMES etc.) all arguments
+    auto-detect; pass them explicitly elsewhere.  Idempotent: safe to call
+    when already initialized or when single-process (returns the process
+    count either way).
+    """
+    import jax
+
+    if num_processes in (None, 1) and coordinator_address is None:
+        # single-process run: nothing to wire
+        return jax.process_count()
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized
+    return jax.process_count()
+
+
+def make_global_mesh(model_parallel: int = 1) -> Mesh:
+    """('data', 'model') mesh over ALL processes' devices.
+
+    Uses mesh_utils.create_device_mesh so the axis-to-topology assignment is
+    ICI-aware; with model_parallel <= devices-per-host the 'model' axis stays
+    within each host's ICI domain and 'data' spans hosts over DCN.
+    """
+    import jax
+    from jax.experimental import mesh_utils
+
+    n = len(jax.devices())
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = mesh_utils.create_device_mesh((n // model_parallel, model_parallel))
+    return Mesh(grid, ("data", "model"))
+
+
+def shard_batch_from_process_local(local_batch, mesh: Mesh):
+    """Assemble the GLOBAL batch from per-process local shards.
+
+    Each host feeds only its own (B_local, T) array (B_local = B_global /
+    n_processes from its own input-pipeline shard); the returned global
+    array is sharded P('data', None) without any cross-host data movement.
+    Single-process, this is equivalent to shard_batch.
+    """
+    import jax
+
+    return jax.make_array_from_process_local_data(batch_sharding(mesh), local_batch)

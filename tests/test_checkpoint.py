@@ -110,3 +110,119 @@ def test_imported_detector_element_count():
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables))
     # 52,053 in torch counts 4 num_batches_tracked scalars we don't carry
     assert n == 52053 - 4
+
+
+def _torch_strided_pair(message_bits=4, base=8, hidden=8, out_ch=16, strides=(2, 4)):
+    """Small torch replica of the main14b_2 Generator/Detector, built from
+    the documented architecture (ref: py/main14b_2.py:86-224) with matching
+    state-dict key names — the golden source for the strided importers."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class Res(nn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.downsample = stride != 1 or cin != cout
+            self.conv1 = nn.Conv1d(cin, cout, 3, stride=stride, padding=1)
+            self.conv2 = nn.Conv1d(cout, cout, 3, padding=1)
+            if self.downsample:
+                self.skip_conv = nn.Conv1d(cin, cout, 1, stride=stride)
+
+        def forward(self, x):
+            y = self.conv2(F.elu(self.conv1(x)))
+            r = self.skip_conv(x) if self.downsample else x
+            return F.elu(y + r)
+
+    class Gen(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.E = nn.Embedding(2**message_bits, hidden)
+            self.init_conv = nn.Conv1d(1, base, 7, padding=3)
+            ch = base
+            blocks = []
+            for st in strides:
+                blocks.append(Res(ch, ch * 2, st))
+                ch *= 2
+            self.encoder_blocks = nn.Sequential(*blocks)
+            self.proj = nn.Linear(ch, hidden)
+            self.lstm = nn.LSTM(hidden, hidden, num_layers=2, batch_first=True)
+            self.final_conv_enc = nn.Conv1d(hidden, out_ch, 7, padding=3)
+            dec, cin = [], out_ch
+            for st in reversed(strides):
+                dec += [nn.ConvTranspose1d(cin, cin // 2, 2 * st, stride=st, padding=st // 2),
+                        Res(cin // 2, cin // 2)]
+                cin //= 2
+            self.decoder_blocks = nn.Sequential(*dec)
+            self.final_conv_dec = nn.Conv1d(cin, 1, 7, padding=3)
+
+        def forward(self, s, message):
+            t = s.shape[-1]
+            x = self.encoder_blocks(self.init_conv(s))
+            x = self.proj(x.transpose(1, 2))
+            x = x + self.E(message).unsqueeze(1)
+            x, _ = self.lstm(x)
+            x = self.decoder_blocks(self.final_conv_enc(x.transpose(1, 2)))
+            d = self.final_conv_dec(x)
+            return d[:, :, :t]
+
+    class Det(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.init_conv = nn.Conv1d(1, base, 7, padding=3)
+            ch = base
+            blocks = []
+            for st in strides:
+                blocks.append(Res(ch, ch * 2, st))
+                ch *= 2
+            self.encoder_blocks = nn.Sequential(*blocks)
+            up, cin = [], ch
+            for st in reversed(strides):
+                up += [nn.ConvTranspose1d(cin, cin // 2, 2 * st, stride=st, padding=st // 2),
+                       Res(cin // 2, cin // 2)]
+                cin //= 2
+            self.upsample_blocks = nn.Sequential(*up)
+            self.final_conv = nn.Conv1d(base, 1 + message_bits, 7, padding=3)
+
+        def forward(self, x):
+            t = x.shape[-1]
+            h = self.upsample_blocks(self.encoder_blocks(self.init_conv(x)))
+            return self.final_conv(h)[:, :, :t]
+
+    torch.manual_seed(0)
+    return Gen(), Det()
+
+
+def test_strided_importers_match_torch(tmp_path):
+    """Strided-family .pth importers: flax forward must match the torch
+    reference replica on the same weights and input."""
+    import torch
+
+    from awm_tpu.models import StridedGenerator, StridedDetector
+
+    bits, base, hidden, out_ch, strides = 4, 8, 8, 16, (2, 4)
+    tgen, tdet = _torch_strided_pair(bits, base, hidden, out_ch, strides)
+    gp, dp = str(tmp_path / "g.pth"), str(tmp_path / "d.pth")
+    torch.save(tgen.state_dict(), gp)
+    torch.save(tdet.state_dict(), dp)
+
+    gvars = ck.import_torch_strided_generator(gp, n_strides=len(strides))
+    dvars = ck.import_torch_strided_detector(dp, n_strides=len(strides))
+
+    fgen = StridedGenerator(message_bits=bits, base_channels=base, hidden_dim=hidden,
+                            output_channels=out_ch, strides=strides, lstm_layers=2)
+    fdet = StridedDetector(message_bits=bits, base_channels=base, strides=strides)
+
+    rng = np.random.default_rng(0)
+    x = (0.3 * rng.standard_normal((2, 160))).astype(np.float32)
+    msg = np.array([3, 9], dtype=np.int64)
+
+    with torch.no_grad():
+        ref_d = tgen(torch.from_numpy(x).unsqueeze(1), torch.from_numpy(msg))[:, 0].numpy()
+        ref_l = tdet(torch.from_numpy(x).unsqueeze(1)).permute(0, 2, 1).numpy()
+
+    ours_d = np.asarray(fgen.apply(gvars, jnp.asarray(x), jnp.asarray(msg, jnp.int32)))
+    ours_l = np.asarray(fdet.apply(dvars, jnp.asarray(x)))
+
+    np.testing.assert_allclose(ours_d, ref_d, atol=2e-5)
+    np.testing.assert_allclose(ours_l, ref_l, atol=2e-5)

@@ -134,3 +134,72 @@ def test_power_ratio_db(speechlike):
     d = 0.01 * x
     got = float(dsp.power_ratio_db(x, d))
     assert abs(got - 40.0) < 1e-3
+
+
+# -- STOI goldens ------------------------------------------------------------
+
+
+def _broadband_speechlike(n=48000, seed=42):
+    """AM-modulated pink-ish noise: energy in every 1/3-octave band with a
+    shared 4 Hz envelope — real-speech-like statistics for STOI."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000.0
+    white = rng.standard_normal(n)
+    spec = np.fft.rfft(white)
+    f = np.fft.rfftfreq(n, 1 / 16000.0)
+    f[0] = 1.0
+    pink = np.fft.irfft(spec / np.sqrt(f), n)
+    env = 0.4 + 0.6 * np.clip(
+        np.sin(2 * np.pi * 4.0 * t) + 0.3 * np.sin(2 * np.pi * 1.3 * t), 0, None
+    )
+    return (pink / np.abs(pink).max() * env).astype(np.float64)
+
+
+def test_stoi_identity_and_goldens():
+    """STOI invariants + frozen golden values.
+
+    pystoi is not installable in this image, so absolute cross-validation is
+    impossible here; instead (a) identity must score exactly 1, (b) the
+    SNR curve must be monotone, and (c) values on a fixed broadband
+    speech-like signal are FROZEN as regression goldens (computed once from
+    this implementation).  The +20/-5 dB endpoints (0.99 / 0.27) match the
+    published Taal et al. (ICASSP 2010) speech-in-stationary-noise regime.
+    """
+    from awm_tpu.dsp.stoi import stoi
+
+    x = _broadband_speechlike()
+    assert abs(stoi(x, x, 16000) - 1.0) < 1e-9
+
+    rng = np.random.default_rng(7)
+    noise = rng.standard_normal(len(x))
+
+    def at_snr(snr_db):
+        g = np.sqrt((x**2).mean() / ((noise**2).mean() * 10 ** (snr_db / 10)))
+        return x + g * noise
+
+    golden = {20: 0.991653, 10: 0.919861, 5: 0.775478, 0: 0.521766, -5: 0.267382}
+    got = {snr: stoi(x, at_snr(snr), 16000) for snr in golden}
+    vals = [got[s] for s in sorted(got, reverse=True)]
+    assert all(a > b for a, b in zip(vals, vals[1:])), got  # monotone in SNR
+    for snr, ref in golden.items():
+        assert abs(got[snr] - ref) < 1e-4, (snr, got[snr], ref)
+
+
+def test_pesq_optional_wiring():
+    """pesq_score returns None gracefully when the pesq package is absent
+    (this image), and evaluate_unseen_file omits the key rather than
+    fabricating a value."""
+    from awm_tpu.dsp.stoi import pesq_score
+
+    x = _broadband_speechlike(n=16000)
+    try:
+        import pesq  # noqa: F401
+
+        has_pesq = True
+    except ImportError:
+        has_pesq = False
+    out = pesq_score(x, x, 16000)
+    if has_pesq:
+        assert isinstance(out, float) and out > 3.5  # identity ~ max MOS
+    else:
+        assert out is None

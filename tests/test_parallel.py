@@ -197,3 +197,24 @@ def test_lstm_fused_auto_no_mesh_is_plain_kernel(rng):
         a = lstm_fused_auto(x, w_ih, w_hh, bias)
         c = lstm_fused(x, w_ih, w_hh, bias)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_multihost_helpers_single_process():
+    """Multi-host entry points must run correctly in the single-process
+    degenerate case (the multi-process path is the same code; JAX treats
+    n_processes=1 identically)."""
+    from awm_tpu.parallel import (
+        initialize_distributed,
+        make_global_mesh,
+        shard_batch_from_process_local,
+    )
+
+    assert initialize_distributed() == jax.process_count() == 1
+    mesh = make_global_mesh(model_parallel=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+    local = np.random.default_rng(0).standard_normal((8, 64)).astype(np.float32)
+    arr = shard_batch_from_process_local(local, mesh)
+    assert arr.shape == (8, 64)
+    assert arr.sharding.spec == P("data", None)
+    np.testing.assert_array_equal(np.asarray(arr), local)
