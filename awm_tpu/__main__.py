@@ -202,6 +202,11 @@ def cmd_prep(args):
         )
         print(f"wrote {n} clips to {args.output}")
     elif args.prep_cmd == "classify":
+        if args.sample:
+            print(json.dumps(prep.sample_feature_stats(
+                args.dir, args.sample, full=args.full
+            ), indent=2))
+            return
         print(json.dumps(prep.classify_folder(
             args.dir, args.output, workers=args.workers, max_files=args.max_files,
             full=args.full,
@@ -307,6 +312,9 @@ def main(argv=None):
     q.add_argument("--full", action="store_true",
                    help="record the full noise.py feature set (MFCC stats, "
                    "spectral bandwidth/rolloff, order-5 band filter)")
+    q.add_argument("--sample", type=int,
+                   help="tuning mode: analyze N random files and print "
+                   "per-feature statistics instead of classifying the folder")
     q = psub.add_parser("speech-only"); q.add_argument("list"); q.add_argument("output")
     q = psub.add_parser("silent"); q.add_argument("dir")
     q.add_argument("--threshold", type=float, default=1e-4)

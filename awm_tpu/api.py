@@ -345,6 +345,9 @@ def detect_watermark(
 
 
 def _plot_detection(input_file, result, threshold, sample_rate):
+    """Temporal-probability figure matching the reference's output format
+    (labels/colors/layout kept identical on purpose so downstream consumers
+    of the PNG see the same artifact; ref: py/main14.py:931-947)."""
     import matplotlib
 
     matplotlib.use("Agg")

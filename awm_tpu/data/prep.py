@@ -407,6 +407,51 @@ def classify_folder(
     }
 
 
+def sample_feature_stats(
+    audio_dir: str,
+    n: int = 100,
+    *,
+    seed: int = 0,
+    full: bool = False,
+    exts: Sequence[str] = (".wav",),
+) -> Dict[str, Dict[str, float]]:
+    """Parameter-tuning mode: analyze n random files and return per-feature
+    statistics (count/mean/std/min/max) plus the classification tally — the
+    reference's ``--sample N`` describe() dump for manual threshold
+    inspection (ref: dataset_creation/noise.py:245-270,
+    noise_mul.py:262-286)."""
+    import random
+
+    files: List[str] = []
+    for ext in exts:
+        files.extend(sorted(glob.glob(os.path.join(audio_dir, "**", f"*{ext}"), recursive=True)))
+    random.Random(seed).shuffle(files)
+    files = files[:n]
+    feats = [analyze_audio(p, full=full) for p in files]
+    labels = [classify_speech_noise(f) for f in feats]
+
+    stats: Dict[str, Dict[str, float]] = {}
+    numeric = [f for f in feats if "error" not in f]
+    if numeric:
+        for k, v in numeric[0].items():
+            if not isinstance(v, (int, float)):
+                continue
+            vals = np.asarray([f[k] for f in numeric if k in f], dtype=np.float64)
+            stats[k] = {
+                "count": int(vals.size),
+                "mean": float(vals.mean()),
+                "std": float(vals.std()),
+                "min": float(vals.min()),
+                "max": float(vals.max()),
+            }
+    stats["_classification"] = {
+        "speech": labels.count("speech"),
+        "noise": labels.count("noise"),
+        "error": labels.count("error"),
+    }
+    return stats
+
+
 def copy_speech_only(speech_list_file: str, out_dir: str) -> int:
     """Copy files listed in speech_files.txt to a clean directory
     (ref: dataset_creation/speech_only.py:1-22)."""

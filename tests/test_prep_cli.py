@@ -228,3 +228,15 @@ def test_classify_folder_full_mode(corpus, tmp_path):
     header = open(str(tmp_path / "full" / "audio_classification_results.csv")).readline()
     for col in ("spectral_bandwidth", "rolloff", "mfcc_mean", "mfcc_var"):
         assert col in header, col
+
+
+def test_sample_feature_stats(corpus):
+    """--sample tuning mode: per-feature describe() stats + tally
+    (ref: dataset_creation/noise.py:245-270)."""
+    from awm_tpu.data.prep import sample_feature_stats
+
+    stats = sample_feature_stats(corpus, 3, full=True)
+    assert stats["_classification"]["speech"] >= 1
+    for feat in ("energy", "spectral_centroid", "mfcc_var"):
+        assert {"count", "mean", "std", "min", "max"} <= set(stats[feat]), feat
+        assert np.isfinite(stats[feat]["mean"])
