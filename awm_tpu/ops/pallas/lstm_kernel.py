@@ -19,17 +19,24 @@ This kernel instead:
 - writes the (TC, B, H) hidden-state tile back, overlapping with the next
   block's DMA.
 
-Gate math is torch/cuDNN order (i, f, g, o) in fp32 — bit-identical to the
-scan path (max err 0.0 in tests/test_pallas.py).
+Precision follows the ambient policy via the INPUT dtype:
+- fp32 x: all matmuls fp32, gate math fp32 — bit-identical to the scan path
+  (max err 0.0 in tests/test_pallas.py).  The strict-parity path.
+- bf16 x (mixed-precision training/inference): matmul INPUTS are bf16 (the
+  MXU's native format — an fp32 matmul on TPU costs 3 bf16 passes), all
+  accumulation/state/gate nonlinearities stay fp32, and the y stream is
+  stored bf16 (halving its HBM traffic).  The backward recomputes gates
+  from the SAME bf16 h values the forward multiplied, so the weight
+  gradients are the true gradients of the bf16-forward computation.
 
-Training uses jax.custom_vjp with a Pallas BACKWARD kernel as well: the
-forward-train variant streams out the pre-step (h, c) histories as
-residuals; the backward runs the grid in reverse time, recomputes gates from
-the residuals (cheaper than storing the (T, B, 4H) gate tensor), does the
-per-step gate math on the VPU plus one small recurrent matmul, and reduces
-ALL weight gradients to three tile-level MXU matmuls with VMEM accumulators.
-3.2x faster than the autodiff-of-scan backward at B=16 and exactly as close
-to the float64 ground truth (fp32 recurrence noise dominates both).
+Training uses jax.custom_vjp with a Pallas BACKWARD kernel as well.
+Residuals are just (x, y, c_prev): h_prev is NOT stored — it is y shifted
+by one step, so the backward reads y at t-1 (plus a one-row block of the
+neighboring tile) instead of carrying a third (T, B, H) HBM tensor.  The
+backward runs the grid in reverse time, hoists the tile's input projection
+into one MXU matmul (symmetric with the forward), recomputes gates per step
+(cheaper than storing the (T, B, 4H) gate tensor), and reduces ALL weight
+gradients to three tile-level MXU matmuls with VMEM accumulators.
 """
 
 from __future__ import annotations
@@ -56,12 +63,27 @@ def _pick_tc(b: int, t: int, hidden: int) -> int:
     return max(tc, 1)
 
 
+def _mm_dtype(x_dtype) -> jnp.dtype:
+    """Matmul input dtype: bf16 stays bf16 (native MXU), everything else
+    runs fp32 (the bit-exact parity path)."""
+    return jnp.bfloat16 if x_dtype == jnp.bfloat16 else jnp.float32
+
+
+def _gate_slices(gates, hidden):
+    i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
+    f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
+    return i, f, g, o
+
+
 def _lstm_kernel(x_ref, w_ih_ref, w_hh_ref, b_ref, y_ref, h_ref, c_ref, xp_ref):
     """One time-tile: project inputs, then run TC sequential cell updates.
 
-    x_ref: (TC, B, D) VMEM block; w_ih: (D, 4H); w_hh: (H, 4H); b: (1, 4H);
-    y_ref: (TC, B, H) output block; h_ref/c_ref: (B, H) persistent scratch;
-    xp_ref: (TC, B, 4H) staging for the tile's projected gates.
+    x_ref: (TC, B, D) VMEM block (mm dtype); w_ih: (D, 4H); w_hh: (H, 4H);
+    b: (1, 4H) fp32; y_ref: (TC, B, H) output block; h_ref/c_ref: (B, H)
+    fp32 persistent scratch; xp_ref: (TC, B, 4H) fp32 staging for the tile's
+    projected gates.
     """
     step = pl.program_id(0)
 
@@ -72,6 +94,7 @@ def _lstm_kernel(x_ref, w_ih_ref, w_hh_ref, b_ref, y_ref, h_ref, c_ref, xp_ref):
 
     tc, bsz, d = x_ref.shape
     hidden = h_ref.shape[-1]
+    mm = w_hh_ref.dtype
 
     # Input projection for the whole tile: one MXU matmul.  Time-major rows
     # mean xp_ref[t] below is a contiguous leading-axis slice.
@@ -87,15 +110,12 @@ def _lstm_kernel(x_ref, w_ih_ref, w_hh_ref, b_ref, y_ref, h_ref, c_ref, xp_ref):
     def body(t, carry):
         h, c = carry
         gates = xp_ref[t] + jnp.dot(
-            h, w_hh_ref[:], preferred_element_type=jnp.float32
+            h.astype(mm), w_hh_ref[:], preferred_element_type=jnp.float32
         )
-        i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
-        f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
-        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
-        o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
+        i, f, g, o = _gate_slices(gates, hidden)
         c = f * c + i * g
         h = o * jnp.tanh(c)
-        y_ref[t] = h
+        y_ref[t] = h.astype(y_ref.dtype)
         return (h, c)
 
     h, c = jax.lax.fori_loop(0, tc, body, (h_ref[:], c_ref[:]))
@@ -112,6 +132,8 @@ def lstm_pallas_forward(
     hidden = w_hh.shape[1]
     tc = _pick_tc(bsz, t, hidden)
     grid = (t // tc,)
+    mm = _mm_dtype(x.dtype)
+    y_dtype = mm if mm == jnp.bfloat16 else jnp.float32
 
     y_t = pl.pallas_call(
         _lstm_kernel,
@@ -125,7 +147,7 @@ def lstm_pallas_forward(
         out_specs=pl.BlockSpec(
             (tc, bsz, hidden), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((t, bsz, hidden), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t, bsz, hidden), y_dtype),
         scratch_shapes=[
             pltpu.VMEM((bsz, hidden), jnp.float32),
             pltpu.VMEM((bsz, hidden), jnp.float32),
@@ -135,19 +157,20 @@ def lstm_pallas_forward(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(
-        jnp.swapaxes(x, 0, 1).astype(jnp.float32),
-        w_ih.T.astype(jnp.float32),
-        w_hh.T.astype(jnp.float32),
+        jnp.swapaxes(x, 0, 1).astype(mm),
+        w_ih.T.astype(mm),
+        w_hh.T.astype(mm),
         b.reshape(1, -1).astype(jnp.float32),
     )
     return jnp.swapaxes(y_t, 0, 1).astype(x.dtype)
 
 
 def _lstm_train_kernel(
-    x_ref, w_ih_ref, w_hh_ref, b_ref, y_ref, hprev_ref, cprev_ref, h_ref, c_ref, xp_ref
+    x_ref, w_ih_ref, w_hh_ref, b_ref, y_ref, cprev_ref, h_ref, c_ref, xp_ref
 ):
-    """Forward variant that also streams out the pre-step states h_{t-1},
-    c_{t-1} — the residuals the backward kernel needs to recompute gates."""
+    """Forward variant that also streams out the pre-step cell states
+    c_{t-1}.  (h_{t-1} needs no stream of its own: it IS y shifted by one
+    step, reconstructed by the backward.)"""
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -157,6 +180,7 @@ def _lstm_train_kernel(
 
     tc, bsz, d = x_ref.shape
     hidden = h_ref.shape[-1]
+    mm = w_hh_ref.dtype
     xp_ref[:] = (
         jnp.dot(
             x_ref[:].reshape(tc * bsz, d),
@@ -168,16 +192,14 @@ def _lstm_train_kernel(
 
     def body(t, carry):
         h, c = carry
-        hprev_ref[t] = h
         cprev_ref[t] = c
-        gates = xp_ref[t] + jnp.dot(h, w_hh_ref[:], preferred_element_type=jnp.float32)
-        i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
-        f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
-        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
-        o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
+        gates = xp_ref[t] + jnp.dot(
+            h.astype(mm), w_hh_ref[:], preferred_element_type=jnp.float32
+        )
+        i, f, g, o = _gate_slices(gates, hidden)
         c = f * c + i * g
         h = o * jnp.tanh(c)
-        y_ref[t] = h
+        y_ref[t] = h.astype(y_ref.dtype)
         return (h, c)
 
     h, c = jax.lax.fori_loop(0, tc, body, (h_ref[:], c_ref[:]))
@@ -186,25 +208,26 @@ def _lstm_train_kernel(
 
 
 def _lstm_bwd_kernel(
-    x_ref, hprev_ref, cprev_ref, dy_ref, w_ih_ref, w_hh_ref, b_ref,
+    x_ref, y_ref, yprev_ref, cprev_ref, dy_ref, w_ih_ref, w_hh_ref, b_ref,
     dx_ref, dwih_ref, dwhh_ref, db_ref,
-    dh_ref, dc_ref, da_ref, dwih_acc, dwhh_acc, db_acc,
+    dh_ref, dc_ref, da_ref, xp_ref, hprev_ref, dwih_acc, dwhh_acc, db_acc,
 ):
     """Reverse-time backward tile.
 
-    Per step: recompute gates from (x_t, h_{t-1}) — two small MXU matmuls +
-    VPU nonlinearities — then gate gradients and the recurrent grad
-    dh_{t-1} = da @ W_hh.  Per-step da is staged in VMEM; ALL weight
-    gradients reduce to three tile-level MXU matmuls:
-        dW_ih += da_tile^T @ x_tile,  dW_hh += da_tile^T @ hprev_tile,
-        dx_tile = da_tile @ W_ih.
-    Accumulators live in VMEM scratch across the (sequential, reversed)
-    grid and are flushed to the outputs on the final step.
+    h_{t-1} is reconstructed from the y stream (y[t-1] within the tile; the
+    last row of the neighboring earlier-time tile via yprev_ref at a tile
+    boundary; zeros at t=0 global).  The tile's input projection is hoisted
+    into one MXU matmul (xp scratch, symmetric with the forward); per step:
+    recompute gates, gate gradients on the VPU, and the recurrent grad
+    dh_{t-1} = da @ W_hh^T.  ALL weight gradients reduce to three
+    tile-level MXU matmuls with fp32 VMEM accumulators, flushed on the
+    final grid step.
     """
     step = pl.program_id(0)
     nt = pl.num_programs(0)
     tc, bsz, d = x_ref.shape
     hidden = dh_ref.shape[-1]
+    mm = w_hh_ref.dtype
 
     @pl.when(step == 0)
     def _init():
@@ -214,20 +237,31 @@ def _lstm_bwd_kernel(
         dwhh_acc[:] = jnp.zeros_like(dwhh_acc)
         db_acc[:] = jnp.zeros_like(db_acc)
 
+    xp_ref[:] = (
+        jnp.dot(
+            x_ref[:].reshape(tc * bsz, d),
+            w_ih_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + b_ref[:]
+    ).reshape(tc, bsz, 4 * hidden)
+
+    # reversed grid: the LAST program (step == nt-1) owns the FIRST time
+    # tile, whose h_{-1} is the zero initial state
+    first_hprev = jnp.where(
+        step == nt - 1, jnp.zeros_like(yprev_ref[0]), yprev_ref[0]
+    )
+
     def body(k, carry):
         t = tc - 1 - k  # reverse within the tile
         dh, dc = carry
-        hprev = hprev_ref[t]
+        hprev = jnp.where(t == 0, first_hprev, y_ref[jnp.maximum(t - 1, 0)])
+        hprev_ref[t] = hprev
         cprev = cprev_ref[t]
-        gates = (
-            jnp.dot(x_ref[t], w_ih_ref[:], preferred_element_type=jnp.float32)
-            + b_ref[:]
-            + jnp.dot(hprev, w_hh_ref[:], preferred_element_type=jnp.float32)
+        gates = xp_ref[t] + jnp.dot(
+            hprev, w_hh_ref[:], preferred_element_type=jnp.float32
         )
-        i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
-        f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
-        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
-        o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
+        i, f, g, o = _gate_slices(gates, hidden)
         c_t = f * cprev + i * g
         tanh_c = jnp.tanh(c_t)
 
@@ -241,7 +275,7 @@ def _lstm_bwd_kernel(
         da_ref[t] = da
 
         dh_prev = jnp.dot(
-            da, w_hh_ref[:].T, preferred_element_type=jnp.float32
+            da.astype(mm), w_hh_ref[:].T, preferred_element_type=jnp.float32
         )  # (B, H)
         dc_prev = dc_total * f
         return (dh_prev, dc_prev)
@@ -251,15 +285,18 @@ def _lstm_bwd_kernel(
     dc_ref[:] = dc
 
     da_flat = da_ref[:].reshape(tc * bsz, 4 * hidden)
-    dx_ref[:] = jnp.dot(
-        da_flat, w_ih_ref[:].T, preferred_element_type=jnp.float32
-    ).reshape(tc, bsz, d)
+    da_mm = da_flat.astype(mm)
+    dx_ref[:] = (
+        jnp.dot(da_mm, w_ih_ref[:].T, preferred_element_type=jnp.float32)
+        .reshape(tc, bsz, d)
+        .astype(dx_ref.dtype)
+    )
     dwih_acc[:] += jnp.dot(
-        x_ref[:].reshape(tc * bsz, d).T, da_flat, preferred_element_type=jnp.float32
+        x_ref[:].reshape(tc * bsz, d).T, da_mm, preferred_element_type=jnp.float32
     )
     dwhh_acc[:] += jnp.dot(
         hprev_ref[:].reshape(tc * bsz, hidden).T,
-        da_flat,
+        da_mm,
         preferred_element_type=jnp.float32,
     )
     db_acc[:] += jnp.sum(da_flat, axis=0, keepdims=True)
@@ -272,15 +309,18 @@ def _lstm_bwd_kernel(
 
 
 def _forward_train(x, w_ih, w_hh, b):
-    """Time-major forward returning (y, hprev_hist, cprev_hist), all (T,B,H)."""
+    """Time-major forward returning (y (T,B,H) in x.dtype, cprev_hist
+    (T,B,H) fp32)."""
     bsz, t, d = x.shape
     hidden = w_hh.shape[1]
     tc = _pick_tc(bsz, t, hidden)
     grid = (t // tc,)
+    mm = _mm_dtype(x.dtype)
+    y_dtype = mm if mm == jnp.bfloat16 else jnp.float32
     blk = lambda feat: pl.BlockSpec(
         (tc, bsz, feat), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    y, hprev, cprev = pl.pallas_call(
+    y, cprev = pl.pallas_call(
         _lstm_train_kernel,
         grid=grid,
         in_specs=[
@@ -289,10 +329,9 @@ def _forward_train(x, w_ih, w_hh, b):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=(blk(hidden), blk(hidden), blk(hidden)),
+        out_specs=(blk(hidden), blk(hidden)),
         out_shape=(
-            jax.ShapeDtypeStruct((t, bsz, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t, bsz, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, bsz, hidden), y_dtype),
             jax.ShapeDtypeStruct((t, bsz, hidden), jnp.float32),
         ),
         scratch_shapes=[
@@ -302,29 +341,38 @@ def _forward_train(x, w_ih, w_hh, b):
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(
-        jnp.swapaxes(x, 0, 1).astype(jnp.float32),
-        w_ih.T.astype(jnp.float32),
-        w_hh.T.astype(jnp.float32),
+        jnp.swapaxes(x, 0, 1).astype(mm),
+        w_ih.T.astype(mm),
+        w_hh.T.astype(mm),
         b.reshape(1, -1).astype(jnp.float32),
     )
-    return y, hprev, cprev
+    return y, cprev
 
 
-def _backward(x_t, hprev, cprev, dy_t, w_ih, w_hh, b):
-    """Time-major backward.  Returns (dx (T,B,D), dw_ih (4H,D), dw_hh (4H,H),
-    db (4H,))."""
+def _backward(x_t, y_t, cprev, dy_t, w_ih, w_hh, b, dx_dtype):
+    """Time-major backward.  Returns (dx (T,B,D) in dx_dtype, dw_ih (4H,D),
+    dw_hh (4H,H), db (4H,) — weight grads fp32)."""
     t, bsz, d = x_t.shape
     hidden = w_hh.shape[1]
     tc = _pick_tc(bsz, t, hidden)
     nt = t // tc
+    mm = _mm_dtype(x_t.dtype)
     rev = lambda feat: pl.BlockSpec(
         (tc, bsz, feat), lambda i: (nt - 1 - i, 0, 0), memory_space=pltpu.VMEM
+    )
+    # one-row block: the last y row of the earlier-time neighbor tile
+    # (h_{t0-1} for this tile's first step); clamped at the global edge,
+    # where the kernel masks it with zeros
+    yprev = pl.BlockSpec(
+        (1, bsz, hidden),
+        lambda i: (jnp.maximum((nt - 1 - i) * tc - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM,
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     dx, dwih_t, dwhh_t, db = pl.pallas_call(
         _lstm_bwd_kernel,
         grid=(nt,),
-        in_specs=[rev(d), rev(hidden), rev(hidden), rev(hidden), full, full, full],
+        in_specs=[rev(d), rev(hidden), yprev, rev(hidden), rev(hidden), full, full, full],
         out_specs=(
             rev(d),
             pl.BlockSpec((d, 4 * hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -332,7 +380,7 @@ def _backward(x_t, hprev, cprev, dy_t, w_ih, w_hh, b):
             pl.BlockSpec((1, 4 * hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t, bsz, d), jnp.float32),
+            jax.ShapeDtypeStruct((t, bsz, d), dx_dtype),
             jax.ShapeDtypeStruct((d, 4 * hidden), jnp.float32),
             jax.ShapeDtypeStruct((hidden, 4 * hidden), jnp.float32),
             jax.ShapeDtypeStruct((1, 4 * hidden), jnp.float32),
@@ -341,6 +389,8 @@ def _backward(x_t, hprev, cprev, dy_t, w_ih, w_hh, b):
             pltpu.VMEM((bsz, hidden), jnp.float32),
             pltpu.VMEM((bsz, hidden), jnp.float32),
             pltpu.VMEM((tc, bsz, 4 * hidden), jnp.float32),
+            pltpu.VMEM((tc, bsz, 4 * hidden), jnp.float32),
+            pltpu.VMEM((tc, bsz, hidden), mm),
             pltpu.VMEM((d, 4 * hidden), jnp.float32),
             pltpu.VMEM((hidden, 4 * hidden), jnp.float32),
             pltpu.VMEM((1, 4 * hidden), jnp.float32),
@@ -348,11 +398,12 @@ def _backward(x_t, hprev, cprev, dy_t, w_ih, w_hh, b):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(
         x_t,
-        hprev,
+        y_t,
+        y_t,  # same tensor, different (one-row, shifted) block spec
         cprev,
         dy_t,
-        w_ih.T.astype(jnp.float32),
-        w_hh.T.astype(jnp.float32),
+        w_ih.T.astype(mm),
+        w_hh.T.astype(mm),
         b.reshape(1, -1).astype(jnp.float32),
     )
     # kernel computes grads w.r.t. the TRANSPOSED weights it was fed
@@ -366,22 +417,25 @@ def lstm_fused(x, w_ih, w_hh, b):
 
 
 def _fused_fwd(x, w_ih, w_hh, b):
-    y, hprev, cprev = _forward_train(x, w_ih, w_hh, b)
-    out = jnp.swapaxes(y, 0, 1).astype(x.dtype)
-    # keep x in its ORIGINAL dtype as the residual (half the bytes under
-    # bf16 mixed precision); the backward re-does the cheap transpose+cast
-    return out, (x, hprev, cprev, w_ih, w_hh, b)
+    y_t, cprev = _forward_train(x, w_ih, w_hh, b)
+    out = jnp.swapaxes(y_t, 0, 1).astype(x.dtype)
+    # residuals: x in its ORIGINAL dtype (half the bytes under bf16), the
+    # y stream (doubles as h_{t-1} history), and the c_{t-1} history
+    return out, (x, y_t, cprev, w_ih, w_hh, b)
 
 
 def _fused_bwd(residuals, g):
-    x, hprev, cprev, w_ih, w_hh, b = residuals
-    x_t = jnp.swapaxes(x, 0, 1).astype(jnp.float32)
+    x, y_t, cprev, w_ih, w_hh, b = residuals
+    mm = _mm_dtype(x.dtype)
+    x_t = jnp.swapaxes(x, 0, 1).astype(mm)
     dy_t = jnp.swapaxes(g, 0, 1).astype(jnp.float32)
-    dx_t, dw_ih, dw_hh, db = _backward(x_t, hprev, cprev, dy_t, w_ih, w_hh, b)
+    dx_t, dw_ih, dw_hh, db = _backward(
+        x_t, y_t, cprev, dy_t, w_ih, w_hh, b, dx_dtype=x.dtype
+    )
     # cotangents must match the primal dtypes (custom_vjp checks), e.g.
     # bf16 activations with fp32 params under mixed-precision training
     return (
-        jnp.swapaxes(dx_t, 0, 1).astype(x.dtype),
+        jnp.swapaxes(dx_t, 0, 1),
         dw_ih.astype(w_ih.dtype),
         dw_hh.astype(w_hh.dtype),
         db.astype(b.dtype),

@@ -77,3 +77,45 @@ def test_pallas_backward_matches_scan_interpret(rng):
         denom = float(jnp.abs(c).max()) + 1e-9
         rel = float(jnp.abs(a - c).max()) / denom
         assert rel < 5e-3, (name, rel)
+
+
+def test_pallas_bf16_path_interpret(rng):
+    """bf16 inputs select the bf16-matmul variant: outputs stay close to
+    the fp32 scan (weights/h rounded to bf16; state + accumulation fp32)
+    and the custom_vjp returns cotangents in the primal dtypes."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from awm_tpu.ops.pallas.lstm_kernel import lstm_fused, lstm_pallas_forward
+
+    b, t, d = 2, 128, 64
+    h = 64
+    x32 = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32) * 0.3)
+    w_ih = jnp.asarray(rng.standard_normal((4 * h, d)).astype(np.float32) * 0.1)
+    w_hh = jnp.asarray(rng.standard_normal((4 * h, h)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.standard_normal((4 * h,)).astype(np.float32) * 0.1)
+    x16 = x32.astype(jnp.bfloat16)
+
+    ref = lstm_forward(x32, w_ih, w_hh, bias)
+    with pltpu.force_tpu_interpret_mode():
+        out = lstm_pallas_forward(x16, w_ih, w_hh, bias)
+    assert out.dtype == jnp.bfloat16
+    # bf16 rounding of x/weights/recurrent h: loose but bounded agreement
+    err = float(jnp.abs(out.astype(jnp.float32) - ref).max())
+    assert err < 5e-2, err
+
+    def loss(*a):
+        return jnp.sum(jnp.sin(lstm_fused(*a).astype(jnp.float32)))
+
+    with pltpu.force_tpu_interpret_mode():
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3))(x16, w_ih, w_hh, bias)
+    assert grads[0].dtype == jnp.bfloat16  # dx matches primal dtype
+    assert all(g.dtype == jnp.float32 for g in grads[1:])
+
+    def loss_s(*a):
+        return jnp.sum(jnp.sin(lstm_forward(*a)))
+
+    ref_g = jax.grad(loss_s, argnums=(1, 2, 3))(x32, w_ih, w_hh, bias)
+    for name, a, c in zip(("dw_ih", "dw_hh", "db"), grads[1:], ref_g):
+        denom = float(jnp.abs(c).max()) + 1e-9
+        rel = float(jnp.abs(a - c).max()) / denom
+        assert rel < 6e-2, (name, rel)
