@@ -109,6 +109,25 @@ def cmd_train(args):
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, epochs=args.epochs))
     if args.batch_size:
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, batch_size=args.batch_size))
+    if args.lr:
+        sch = dataclasses.replace(cfg.train.schedule, lr=args.lr)
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, schedule=sch))
+    if args.patience:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, early_stop_patience=args.patience)
+        )
+    if args.augment:
+        # the measured-good robustness curriculum (DEMO.md study): every
+        # channel attack applied independently per example with p<1, on BOTH
+        # detector halves (train._forward) — always-on or s_w-only attack
+        # curricula collapse the detector
+        from awm_tpu.augment import AugmentConfig
+
+        cfg = dataclasses.replace(cfg, augment=AugmentConfig(
+            noise_snr_db=(20.0, 40.0), volume_range=(0.3, 1.2),
+            lowpass_hz=7000.0, quantize=True, resample_hz=8000,
+            attack_prob=args.attack_prob,
+        ))
     if args.data:
         ds = OneSecClips(args.data, cfg.sample_rate, cfg.audio_len)
         if not len(ds):
@@ -262,6 +281,13 @@ def main(argv=None):
     p.add_argument("--epochs", type=int)
     p.add_argument("--ckpt-dir", default="checkpoints")
     p.add_argument("--init-from", help="checkpoint to fine-tune from (main15c flow)")
+    p.add_argument("--lr", type=float, help="override the schedule's (peak) learning rate")
+    p.add_argument("--patience", type=int, help="early-stopping patience override")
+    p.add_argument("--augment", action="store_true",
+                   help="on-device channel-attack curriculum (noise/volume/"
+                   "lowpass/quantize/resample, per-example probability)")
+    p.add_argument("--attack-prob", type=float, default=0.35,
+                   help="per-example per-attack application probability")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--data-parallel", action="store_true", help="shard over all local devices")
     p.add_argument("--model-parallel", type=int, default=1)

@@ -240,3 +240,16 @@ def test_sample_feature_stats(corpus):
     for feat in ("energy", "spectral_centroid", "mfcc_var"):
         assert {"count", "mean", "std", "min", "max"} <= set(stats[feat]), feat
         assert np.isfinite(stats[feat]["mean"])
+
+
+def test_cli_train_augment_smoke(tmp_path):
+    """train --augment/--lr/--patience: the robustness curriculum is
+    reachable from the CLI (round-1 study required the Python API)."""
+    r = _run_cli(
+        "--platform", "cpu", "train", "--synthetic-n", "16", "--batch-size", "4",
+        "--epochs", "1", "--audio-len", "512", "--augment", "--attack-prob", "0.5",
+        "--lr", "1e-3", "--patience", "2", "--ckpt-dir", str(tmp_path / "ck"),
+    )
+    assert r.returncode == 0, r.stderr
+    assert "best_val" in r.stdout
+    assert os.path.isdir(str(tmp_path / "ck" / "ckpt_best"))
