@@ -2,7 +2,8 @@ from awm_tpu.data.dataset import (
     OneSecClips,
     BatchLoader,
     SyntheticClips,
+    SyntheticMusicClips,
     split_indices,
 )
 
-__all__ = ["OneSecClips", "BatchLoader", "SyntheticClips", "split_indices"]
+__all__ = ["OneSecClips", "BatchLoader", "SyntheticClips", "SyntheticMusicClips", "split_indices"]

@@ -192,3 +192,39 @@ class SyntheticClips:
         ) * (0.6 + 0.4 * np.sin(2 * np.pi * (2.0 + 3.0 * rng.random()) * t))
         x = x + 0.02 * rng.standard_normal(self.audio_len)
         return x.astype(np.float32)
+
+
+class SyntheticMusicClips:
+    """Deterministic synthetic music-like clips: sustained triads on an
+    equal-tempered scale with per-note decay envelopes and a percussive
+    noise-burst pattern — deliberately OUT-OF-DOMAIN for the speech-like
+    training distribution.  Stands in for the reference's music
+    generalization sweeps (GTZAN ref: py/main15.py:1907, FMA :2030, personal
+    songs py/main14.py:1641) in this corpus-free environment."""
+
+    def __init__(self, n: int = 256, audio_len: int = AUDIO_LEN, seed: int = 0):
+        self.n = n
+        self.audio_len = audio_len
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed * 2_000_003 + idx)
+        t = np.arange(self.audio_len) / SAMPLE_RATE
+        root = 110.0 * 2.0 ** (rng.integers(0, 25) / 12.0)  # A2..A4 chromatic
+        x = np.zeros_like(t)
+        for ratio in (1.0, 2 ** (4 / 12), 2 ** (7 / 12)):  # major triad
+            f = root * ratio
+            decay = np.exp(-t / (0.4 + 0.8 * rng.random()))
+            for harm, amp in ((1, 0.2), (2, 0.08), (3, 0.04)):
+                x += amp * decay * np.sin(2 * np.pi * f * harm * t + rng.random())
+        # percussive hits: short filtered noise bursts on a beat grid
+        beat = int(SAMPLE_RATE / (1.8 + 1.4 * rng.random()))
+        for start in range(0, self.audio_len, beat):
+            dur = min(800, self.audio_len - start)
+            burst = rng.standard_normal(dur) * np.exp(-np.arange(dur) / 150.0)
+            x[start : start + dur] += 0.15 * burst
+        x = x + 0.005 * rng.standard_normal(self.audio_len)
+        return (0.9 * x / max(np.abs(x).max(), 1e-6) * 0.35).astype(np.float32)

@@ -22,6 +22,7 @@ from awm_tpu.dsp.filters import (
     lowpass_biquad_coeffs,
 )
 from awm_tpu.dsp.metrics import si_snr, rms, power_ratio_db, quantize_int16
+from awm_tpu.dsp.quality import nsim_quality
 
 __all__ = [
     "hann_window",
@@ -41,4 +42,5 @@ __all__ = [
     "rms",
     "power_ratio_db",
     "quantize_int16",
+    "nsim_quality",
 ]

@@ -117,6 +117,15 @@ def evaluate_unseen_file(
         out["stoi"] = stoi(wav, wm, session.sample_rate)
     except Exception:
         out["stoi"] = float("nan")
+    # framework-native perceptual column (NSIM, ViSQOL-style) — always
+    # present, so quality reports keep a PESQ-class metric even without the
+    # optional pesq package (ref perceptual slot: py/main14.py:1186-1195)
+    try:
+        from awm_tpu.dsp.quality import nsim_quality
+
+        out["nsim"] = nsim_quality(wav, wm, session.sample_rate)
+    except Exception:
+        out["nsim"] = float("nan")
     # optional wide-band PESQ, present only when the pesq package is
     # installed (ref: py/main14.py:1186-1195); STOI/SI-SNR above are the
     # documented fallbacks when it is not

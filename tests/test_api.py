@@ -173,6 +173,46 @@ def test_stoi_sanity(speechlike):
     assert s0 < 0.9
 
 
+def test_nsim_quality(speechlike):
+    from awm_tpu.dsp.quality import nsim_quality
+
+    x = np.tile(speechlike, 3)
+    rng = np.random.default_rng(0)
+    assert nsim_quality(x, x, 16000) == pytest.approx(1.0, abs=1e-9)
+    n = rng.standard_normal(len(x)).astype(np.float32)
+    sc = lambda snr_db: x + n * np.sqrt((x**2).mean() / (n**2).mean()) * 10 ** (-snr_db / 20)
+    s40, s20, s0 = (nsim_quality(x, sc(s), 16000) for s in (40, 20, 0))
+    assert 1.0 > s40 > s20 > s0  # monotone in SNR
+    assert s40 > 0.97  # near-transparent perturbation scores near 1
+    assert s0 < 0.9
+    # watermark-scale delta (RMS ~0.0086, the reference's -42 dBFS level,
+    # BASELINE.md) must be scored as perceptually transparent
+    d = rng.standard_normal(len(x)).astype(np.float32)
+    d *= 0.0086 / np.sqrt((d**2).mean())
+    assert nsim_quality(x, x + d, 16000) > 0.95
+
+
+def test_nsim_golden_regression():
+    """Pinned values on deterministic inputs — regression guard for the
+    gammatone banding + NSIM math (no external package exists in this image
+    to cross-check against, so the guard is self-consistency over time)."""
+    from awm_tpu.dsp.quality import nsim_quality
+
+    fs = 16000
+    t = np.arange(2 * fs) / fs
+    rng = np.random.default_rng(42)
+    x = (0.3 * np.sin(2 * np.pi * 220 * t) * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))).astype(
+        np.float64
+    )
+    noise = 0.01 * rng.standard_normal(2 * fs)
+    # a pure tone has near-floor energy in most bands, so -30 dB noise is
+    # (correctly) scored as clearly audible against it
+    got = nsim_quality(x, x + noise, fs)
+    assert got == pytest.approx(0.4497, abs=2e-3)
+    smooth = np.convolve(x + noise, np.ones(5) / 5, "same")
+    assert nsim_quality(x, smooth, fs) == pytest.approx(0.4870, abs=2e-3)
+
+
 def test_evaluate_robustness(trained_session):
     sess, batch = trained_session
     table = ev.evaluate_robustness(sess, batch, seed=0)

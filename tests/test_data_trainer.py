@@ -67,6 +67,21 @@ def test_batch_loader_no_drop_last():
     assert sizes == [4, 4, 2]
 
 
+def test_synthetic_music_clips():
+    from awm_tpu.data import SyntheticMusicClips
+
+    ds = SyntheticMusicClips(n=6, audio_len=16000, seed=7)
+    a = ds[0]
+    assert a.shape == (16000,) and a.dtype == np.float32
+    assert np.allclose(a, ds[0])  # deterministic
+    assert not np.allclose(a, ds[1])
+    assert np.abs(a).max() <= 0.5  # normalized headroom
+    # out-of-domain vs the speech-like distribution: different envelope
+    # statistics (music decays on a beat grid; speech AM is sinusoidal)
+    speech = SyntheticClips(n=1, audio_len=16000)[0]
+    assert np.abs(a).mean() != np.abs(speech).mean()
+
+
 # -- augment ---------------------------------------------------------------
 
 

@@ -1,0 +1,211 @@
+"""Reproduce the DEMO.md quality tables from a trained checkpoint.
+
+Drives the public eval surface end-to-end on the held-out test split of the
+same synthetic corpus the training CLI built (identical 80/10/10 split
+seed), mirroring the reference's post-training evaluation blocks
+(ref: py/main14.py:1043-1093 and main14.ipynb cells 11/16/19):
+
+  quality   detection probs, detect/FP rate, ROC AUC, bit accuracy, delta
+            RMS, power ratio, file round-trip + STOI/NSIM
+  robust    attack-matrix sweep (evaluate_robustness)
+  cross     imported reference detector vs OUR watermarks (key specificity)
+
+Usage:
+  python tools/demo_eval.py --ckpt runs/r2_base/ckpt_best [--preset base]
+      [--synthetic-n 24576] [--n-eval 1024] [--sections quality,robust,cross]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _test_clips(cfg, n_total: int, n_eval: int) -> np.ndarray:
+    from awm_tpu.data import SyntheticClips, split_indices
+
+    ds = SyntheticClips(n=n_total, audio_len=cfg.audio_len)
+    _, _, te_idx = split_indices(len(ds), (0.8, 0.1, 0.1), seed=cfg.train.seed)
+    te_idx = te_idx[:n_eval]
+    return np.stack([ds[i] for i in te_idx])
+
+
+def section_quality(sess, clips, cfg, batch: int):
+    from awm_tpu.api import detect_watermark, generate_watermarked_audio
+    from awm_tpu.dsp.quality import nsim_quality
+    from awm_tpu.dsp.stoi import stoi
+    from awm_tpu.eval import roc_auc
+    from awm_tpu.utils.audio_io import save_wav
+
+    rng = np.random.default_rng(0)
+    p_wm, p_clean, bits, d_rms, s_rms = [], [], [], [], []
+    for i in range(0, len(clips), batch):
+        s = clips[i : i + batch]
+        msgs = rng.integers(0, 2**sess.message_bits, size=len(s)).astype(np.int32)
+        out = sess.embed_detect(s, msgs)
+        p_wm.extend(out["wm_prob"])
+        p_clean.extend(out["clean_prob"])
+        votes = out["msg_vote_frac"] > 0.5
+        target = (msgs[:, None] & (1 << np.arange(sess.message_bits))) > 0
+        bits.extend((votes == target).mean(axis=1))
+        d_rms.extend(out["delta_rms"])
+        s_rms.extend(np.sqrt((s**2).mean(axis=1)))
+    p_wm, p_clean = np.asarray(p_wm), np.asarray(p_clean)
+    d_rms, s_rms = np.asarray(d_rms), np.asarray(s_rms)
+    labels = [1] * len(p_wm) + [0] * len(p_clean)
+    _, _, _, auc = roc_auc(labels, np.concatenate([p_wm, p_clean]))
+
+    # file round-trip on a multi-second concatenation of held-out clips
+    long = np.concatenate(clips[: int(np.ceil(13.3))])[: int(13.3 * cfg.sample_rate)]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "long.wav")
+        save_wav(path, long, cfg.sample_rate)
+        emb = generate_watermarked_audio(path, sess, os.path.join(d, "wm.wav"), seed=0)
+        det_wm = detect_watermark(os.path.join(d, "wm.wav"), sess)
+        det_clean = detect_watermark(path, sess)
+    wm_wave = emb["watermarked_waveform"]
+    return {
+        "watermarked_prob": float(p_wm.mean()),
+        "clean_prob": float(p_clean.mean()),
+        "detect_rate": float((p_wm > 0.5).mean()),
+        "false_positive_rate": float((p_clean > 0.5).mean()),
+        "roc_auc": float(auc),
+        "bit_accuracy": float(np.mean(bits)),
+        "delta_rms": float(d_rms.mean()),
+        "power_ratio_db": float((20 * np.log10(s_rms / np.maximum(d_rms, 1e-12))).mean()),
+        "file_roundtrip": {
+            "seconds": round(len(long) / cfg.sample_rate, 1),
+            "clean_prob": det_clean["mean_probability"],
+            "wm_prob": det_wm["mean_probability"],
+            "si_snr_db": emb["metrics"]["si_snr_db"],
+            "stoi": float(stoi(long, wm_wave, cfg.sample_rate)),
+            "nsim": float(nsim_quality(long, wm_wave, cfg.sample_rate)),
+        },
+    }
+
+
+def section_robust(sess, clips, n: int = 128):
+    from awm_tpu.eval import evaluate_robustness
+
+    table = evaluate_robustness(sess, clips[:n], seed=0)
+    return {
+        k: {m: round(float(v), 4) for m, v in row.items()} for k, row in table.items()
+    }
+
+
+def section_music(sess, cfg, n: int, batch: int):
+    """Out-of-domain music generalization: embed+detect on music-like clips
+    with the speech-trained model (the reference's GTZAN/FMA/Songs sweeps,
+    ref: py/main15.py:1907,2030; py/main14.py:1641 — accuracy 0.96 on music
+    per main14.ipynb cell 24)."""
+    from awm_tpu.data import SyntheticMusicClips
+    from awm_tpu.eval import roc_auc
+
+    ds = SyntheticMusicClips(n=n, audio_len=cfg.audio_len, seed=7)
+    clips = np.stack([ds[i] for i in range(len(ds))])
+    rng = np.random.default_rng(0)
+    p_wm, p_clean = [], []
+    for i in range(0, len(clips), batch):
+        s = clips[i : i + batch]
+        msgs = rng.integers(0, 2**sess.message_bits, size=len(s)).astype(np.int32)
+        out = sess.embed_detect(s, msgs)
+        p_wm.extend(out["wm_prob"])
+        p_clean.extend(out["clean_prob"])
+    p_wm, p_clean = np.asarray(p_wm), np.asarray(p_clean)
+    labels = [1] * len(p_wm) + [0] * len(p_clean)
+    _, _, _, auc = roc_auc(labels, np.concatenate([p_wm, p_clean]))
+    return {
+        "watermarked_prob": float(p_wm.mean()),
+        "clean_prob": float(p_clean.mean()),
+        "accuracy": float(
+            ((p_wm > 0.5).sum() + (p_clean <= 0.5).sum()) / (2 * len(p_wm))
+        ),
+        "roc_auc": float(auc),
+    }
+
+
+def section_cross(sess, clips, cfg, torch_detector: str, batch: int):
+    """Reference's shipped detector vs OUR watermarks: near-chance AUC is
+    the expected key-specificity property (DEMO.md round-2 section)."""
+    from awm_tpu import checkpoint as ck
+    from awm_tpu.api import InferenceSession
+    from awm_tpu.eval import roc_auc
+    import jax.numpy as jnp
+
+    dvars = ck.import_torch_detector(torch_detector)
+    ref_sess = InferenceSession(
+        sess.gen, sess.det, sess.gen_vars, dvars,
+        message_bits=cfg.message_bits, sample_rate=cfg.sample_rate,
+        chunk_len=cfg.audio_len, compute_dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    p_wm, p_clean = [], []
+    for i in range(0, len(clips), batch):
+        s = clips[i : i + batch]
+        msgs = rng.integers(0, 2**sess.message_bits, size=len(s)).astype(np.int32)
+        wm = s + sess.embed_chunks(s, msgs)  # OUR generator's watermark
+        p_wm.extend(ref_sess.detect_summary(wm)[3])  # mean_prob
+        p_clean.extend(ref_sess.detect_summary(s)[3])
+    labels = [1] * len(p_wm) + [0] * len(p_clean)
+    _, _, _, auc = roc_auc(labels, np.concatenate([p_wm, p_clean]))
+    return {
+        "ref_detector_prob_clean": float(np.mean(p_clean)),
+        "ref_detector_prob_our_wm": float(np.mean(p_wm)),
+        "ref_detector_auc_vs_our_wm": float(auc),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--preset", default="base")
+    ap.add_argument("--synthetic-n", type=int, default=24576)
+    ap.add_argument("--n-eval", type=int, default=1024)
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--sections", default="quality,robust,music,cross")
+    ap.add_argument("--torch-detector", default="/root/reference/models/detector_best.pth")
+    ap.add_argument("--platform", default=None, help="force a jax platform (cpu/tpu/axon)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        # sitecustomize imports jax at interpreter start and pins the axon
+        # platform; in-process config update is the working override
+        jax.config.update("jax_platforms", args.platform)
+
+    from awm_tpu import checkpoint as ck
+    from awm_tpu import train as tr
+    from awm_tpu.api import InferenceSession
+    from awm_tpu.config import get_config
+
+    cfg = get_config(args.preset)
+    state, gen, det = tr.init_state(cfg, jax.random.key(0))
+    state, _, best_val = ck.restore_checkpoint(args.ckpt, state)
+    sess = InferenceSession.from_state(cfg, gen, det, state)
+    clips = _test_clips(cfg, args.synthetic_n, args.n_eval)
+
+    report = {"ckpt": args.ckpt, "best_val": best_val, "n_eval": len(clips)}
+    wanted = set(args.sections.split(","))
+    if "quality" in wanted:
+        report["quality"] = section_quality(sess, clips, cfg, args.batch_size)
+    if "robust" in wanted:
+        report["robust"] = section_robust(sess, clips)
+    if "music" in wanted:
+        report["music"] = section_music(sess, cfg, min(args.n_eval, 512), args.batch_size)
+    if "cross" in wanted and os.path.exists(args.torch_detector):
+        report["cross"] = section_cross(
+            sess, clips[:256], cfg, args.torch_detector, args.batch_size
+        )
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
