@@ -186,10 +186,11 @@ def cmd_detect_folder(args):
 
 
 def cmd_serve(args):
-    from awm_tpu.serve import serve
+    from awm_tpu.serve import serve as _serve
 
     sess = _load_session(args)
-    serve(sess, host=args.host, port=args.port)
+    _serve(sess, host=args.host, port=args.port,
+           max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
 
 
 def cmd_bench(args):
@@ -320,6 +321,10 @@ def main(argv=None):
     _add_session_args(p)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8787)
+    p.add_argument("--max-batch", type=int, default=256,
+                   help="micro-batch chunk budget per device call")
+    p.add_argument("--max-wait-ms", type=float, default=5.0,
+                   help="max time a request waits for batch co-riders")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("prep", help="dataset creation tools")

@@ -196,6 +196,8 @@ def evaluate_corpus(
         "avg_prob_watermarked": float(np.mean([r["prob_watermarked"] for r in results])),
         "avg_si_snr_db": float(np.mean([r["si_snr_db"] for r in results])),
         "avg_delta_rms": float(np.mean([r["delta_rms"] for r in results])),
+        "avg_stoi": float(np.nanmean([r.get("stoi", float("nan")) for r in results])),
+        "avg_nsim": float(np.nanmean([r.get("nsim", float("nan")) for r in results])),
         "accuracy": float(np.mean(np.asarray(preds) == np.asarray(labels))),
         "auc": float(auc_val),
         "kfold_acc": kfold_cv(labels, preds),

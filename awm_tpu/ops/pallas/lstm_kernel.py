@@ -42,6 +42,7 @@ gradients to three tile-level MXU matmuls with VMEM accumulators.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 # VMEM budget for the projected-gates tile (fp32 bytes)
 _XP_TILE_BUDGET = 4 * 1024 * 1024
+
+# Sequential-step loop unroll factor.  The per-step compute (one small MXU
+# matmul + VPU gate math) is far cheaper than the Mosaic loop's fixed
+# per-iteration overhead, so unrolling amortizes that overhead across
+# several timesteps.  Env-tunable for hardware sweeps.
+_UNROLL = max(1, int(os.environ.get("AWM_LSTM_UNROLL", "1")))
 
 
 def _pick_tc(b: int, t: int, hidden: int) -> int:
@@ -118,7 +125,7 @@ def _lstm_kernel(x_ref, w_ih_ref, w_hh_ref, b_ref, y_ref, h_ref, c_ref, xp_ref):
         y_ref[t] = h.astype(y_ref.dtype)
         return (h, c)
 
-    h, c = jax.lax.fori_loop(0, tc, body, (h_ref[:], c_ref[:]))
+    h, c = jax.lax.fori_loop(0, tc, body, (h_ref[:], c_ref[:]), unroll=_UNROLL)
     h_ref[:] = h
     c_ref[:] = c
 
@@ -202,7 +209,7 @@ def _lstm_train_kernel(
         y_ref[t] = h.astype(y_ref.dtype)
         return (h, c)
 
-    h, c = jax.lax.fori_loop(0, tc, body, (h_ref[:], c_ref[:]))
+    h, c = jax.lax.fori_loop(0, tc, body, (h_ref[:], c_ref[:]), unroll=_UNROLL)
     h_ref[:] = h
     c_ref[:] = c
 
@@ -280,7 +287,7 @@ def _lstm_bwd_kernel(
         dc_prev = dc_total * f
         return (dh_prev, dc_prev)
 
-    dh, dc = jax.lax.fori_loop(0, tc, body, (dh_ref[:], dc_ref[:]))
+    dh, dc = jax.lax.fori_loop(0, tc, body, (dh_ref[:], dc_ref[:]), unroll=_UNROLL)
     dh_ref[:] = dh
     dc_ref[:] = dc
 

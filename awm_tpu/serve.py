@@ -10,7 +10,11 @@ surface with zero extra dependencies (stdlib ThreadingHTTPServer):
     GET  /healthz                  -> JSON status
 
 Audio decoding/encoding is host-side; the model runs through the session's
-batched device kernels, so concurrent requests share compiled graphs.
+batched device kernels via a micro-batching layer (awm_tpu.batching):
+concurrent requests' chunks coalesce into ONE device call (bounded by
+max_wait_ms), so the TPU sees large batches and exactly one consumer thread
+while HTTP threads only decode/encode WAVs.  GET /healthz reports the
+coalescing stats.
 
 Start with:  python -m awm_tpu serve --ckpt runs/base/ckpt_best --port 8787
 """
@@ -77,8 +81,11 @@ def make_handler(session: InferenceSession):
 
         def do_GET(self):
             if urlparse(self.path).path == "/healthz":
-                self._json(200, {"status": "ok", "message_bits": session.message_bits,
-                                 "sample_rate": session.sample_rate})
+                payload = {"status": "ok", "message_bits": session.message_bits,
+                           "sample_rate": session.sample_rate}
+                if hasattr(session, "batcher"):
+                    payload["batching"] = dict(session.batcher.stats)
+                self._json(200, payload)
             else:
                 self._json(404, {"error": "unknown endpoint"})
 
@@ -133,8 +140,18 @@ def make_handler(session: InferenceSession):
     return Handler
 
 
-def serve(session: InferenceSession, host: str = "127.0.0.1", port: int = 8787):
-    httpd = ThreadingHTTPServer((host, port), make_handler(session))
+def serve(
+    session: InferenceSession,
+    host: str = "127.0.0.1",
+    port: int = 8787,
+    *,
+    max_batch: int = 256,
+    max_wait_ms: float = 5.0,
+):
+    from awm_tpu.batching import BatchedSession
+
+    batched = BatchedSession(session, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    httpd = ThreadingHTTPServer((host, port), make_handler(batched))
     print(f"awm_tpu serving on http://{host}:{port} (POST /embed, /detect; GET /healthz)")
     try:
         httpd.serve_forever()
@@ -142,3 +159,4 @@ def serve(session: InferenceSession, host: str = "127.0.0.1", port: int = 8787):
         pass
     finally:
         httpd.server_close()
+        batched.close()

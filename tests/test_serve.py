@@ -23,14 +23,18 @@ CHUNK = 800
 
 @pytest.fixture(scope="module")
 def server():
+    from awm_tpu.batching import BatchedSession
+
     cfg = dataclasses.replace(get_config("base"), audio_len=CHUNK)
     state, gen, det = tr.init_state(cfg, jax.random.key(0))
     sess = InferenceSession.from_state(cfg, gen, det, state)
-    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(sess))
+    batched = BatchedSession(sess, max_wait_ms=10.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batched))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     yield httpd.server_address
     httpd.shutdown()
+    batched.close()
 
 
 def _wav_bytes(x):
@@ -136,3 +140,86 @@ def test_concurrent_requests(server, rng):
     assert len(results) == 4 and all(s == 200 for s, _ in results)
     probs = [b["mean_probability"] for _, b in results]
     assert max(probs) - min(probs) < 1e-6  # same input -> same answer
+
+
+# -- micro-batching layer (awm_tpu.batching) ---------------------------------
+
+
+@pytest.fixture(scope="module")
+def batched_pair():
+    from awm_tpu.batching import BatchedSession
+
+    cfg = dataclasses.replace(get_config("base"), audio_len=CHUNK)
+    state, gen, det = tr.init_state(cfg, jax.random.key(1))
+    sess = InferenceSession.from_state(cfg, gen, det, state)
+    batched = BatchedSession(sess, max_wait_ms=60.0)
+    yield sess, batched
+    batched.close()
+
+
+def test_microbatch_coalesces_and_matches(batched_pair, rng):
+    """Concurrent embed requests coalesce into fewer device batches and give
+    the same result as direct per-request session calls."""
+    sess, batched = batched_pair
+    reqs = [
+        ((0.2 * rng.standard_normal((2, CHUNK))).astype(np.float32),
+         np.array([i, i + 1], np.int32))
+        for i in range(4)
+    ]
+    direct = [np.asarray(sess.embed_chunks(c, m)) for c, m in reqs]
+
+    start = batched.batcher.stats["device_batches"]
+    results = [None] * len(reqs)
+    barrier = threading.Barrier(len(reqs))
+
+    def hit(i):
+        barrier.wait()
+        results[i] = np.asarray(batched.embed_chunks(*reqs[i]))
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(len(reqs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for got, want in zip(results, direct):
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+    # 4 simultaneous requests inside one 60 ms window -> fewer device calls
+    assert batched.batcher.stats["device_batches"] - start < len(reqs)
+
+
+def test_microbatch_mixed_ops_do_not_cross(batched_pair, rng):
+    """Interleaved embed/detect submissions stay op-pure and correct."""
+    sess, batched = batched_pair
+    clips = (0.2 * rng.standard_normal((3, CHUNK))).astype(np.float32)
+    msgs = np.array([5, 6, 7], np.int32)
+    want_delta = np.asarray(sess.embed_chunks(clips, msgs))
+    want_probs = np.asarray(sess.detect_summary(clips)[3])
+
+    out = {}
+
+    def do_embed():
+        out["delta"] = np.asarray(batched.embed_chunks(clips, msgs))
+
+    def do_detect():
+        out["probs"] = np.asarray(batched.detect_summary(clips)[3])
+
+    threads = [threading.Thread(target=do_embed), threading.Thread(target=do_detect)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    np.testing.assert_allclose(out["delta"], want_delta, atol=1e-6)
+    np.testing.assert_allclose(out["probs"], want_probs, atol=1e-6)
+
+
+def test_batched_session_proxies_file_api(batched_pair, rng):
+    """watermark_array/detect_array run unchanged on the BatchedSession."""
+    from awm_tpu.api import detect_array, watermark_array
+
+    sess, batched = batched_pair
+    wav = (0.2 * rng.standard_normal(3 * CHUNK + 37)).astype(np.float32)
+    res = watermark_array(wav, batched, seed=0)
+    assert res["watermarked_waveform"].shape == wav.shape
+    det = detect_array(res["watermarked_waveform"], batched)
+    ref = detect_array(res["watermarked_waveform"], sess)
+    assert abs(det["mean_probability"] - ref["mean_probability"]) < 1e-6
