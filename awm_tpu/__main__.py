@@ -123,8 +123,10 @@ def cmd_train(args):
         # curricula collapse the detector
         from awm_tpu.augment import AugmentConfig
 
+        # noise floor 15 dB: evaluating AT the curriculum's minimum SNR
+        # (20 dB) failed when trained with min=20 — train past the eval edge
         cfg = dataclasses.replace(cfg, augment=AugmentConfig(
-            noise_snr_db=(20.0, 40.0), volume_range=(0.3, 1.2),
+            noise_snr_db=(15.0, 40.0), volume_range=(0.3, 1.2),
             lowpass_hz=7000.0, quantize=True, resample_hz=8000,
             attack_prob=args.attack_prob,
         ))
