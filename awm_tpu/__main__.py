@@ -154,6 +154,7 @@ def cmd_train(args):
         cfg, mk(tr_idx, True), mk(va_idx, False),
         ckpt_dir=args.ckpt_dir, init_from=args.init_from, mesh=mesh,
         log_path=args.log_csv, plot_path=args.loss_plot, seed=cfg.train.seed,
+        select_metric=args.select_metric,
     )
     print(json.dumps({"best_val": out["best_val"], "epochs": len(out["history"]),
                       "stopped_early": out["stopped_early"]}, indent=2))
@@ -286,6 +287,12 @@ def main(argv=None):
     p.add_argument("--init-from", help="checkpoint to fine-tune from (main15c flow)")
     p.add_argument("--lr", type=float, help="override the schedule's (peak) learning rate")
     p.add_argument("--patience", type=int, help="early-stopping patience override")
+    p.add_argument("--select-metric",
+                   help="comma-separated val loss terms (e.g. loc,dec) whose sum "
+                        "drives best-checkpoint selection + early stopping; "
+                        "default: weighted total.  Use loc,dec for robustness "
+                        "fine-tunes (attack curricula trade quality terms for "
+                        "detection, so total val bottoms out at epoch 0)")
     p.add_argument("--augment", action="store_true",
                    help="on-device channel-attack curriculum (noise/volume/"
                    "lowpass/quantize/resample, per-example probability)")

@@ -75,10 +75,18 @@ def fit(
     init_from: Optional[str] = None,
     log_path: Optional[str] = None,
     plot_path: Optional[str] = None,
+    select_metric: Optional[str] = None,
     verbose: bool = True,
 ) -> Dict:
     """Train gen+det jointly.  train_batches: re-iterable of (B, T) arrays
     (e.g. awm_tpu.data.BatchLoader); val_batches: same or None.
+
+    select_metric: comma-separated val loss-term keys (e.g. "loc,dec") whose
+    SUM drives best-checkpoint selection and early stopping instead of the
+    weighted total.  Robustness fine-tunes need this: an attack curriculum
+    deliberately trades the converged quality terms for detection under
+    attack, so total val loss bottoms out at epoch 0 while the detection
+    terms are still improving (measured: runs/r2_ft2).  None = "total".
 
     Returns {state, gen, det, history, best_val, stopped_early}.
     """
@@ -94,7 +102,7 @@ def fit(
             cfg, train_batches, val_batches, ckpt_dir=ckpt_dir, epochs=epochs,
             steps_per_epoch=steps_per_epoch, seed=seed, mesh=mesh,
             init_from=init_from, log_path=log_path, plot_path=plot_path,
-            verbose=verbose,
+            select_metric=select_metric, verbose=verbose,
         )
 
 
@@ -111,9 +119,11 @@ def _fit(
     init_from: Optional[str] = None,
     log_path: Optional[str] = None,
     plot_path: Optional[str] = None,
+    select_metric: Optional[str] = None,
     verbose: bool = True,
 ) -> Dict:
     epochs = epochs if epochs is not None else cfg.train.epochs
+    select_keys = [k.strip() for k in select_metric.split(",")] if select_metric else ["total"]
     rng = jax.random.key(seed)
     spe = steps_per_epoch or (len(train_batches) if hasattr(train_batches, "__len__") else 1000)
 
@@ -192,7 +202,8 @@ def _fit(
         train_mean = _mean_terms(train_terms) if train_terms else {}
 
         val_mean = run_validation()
-        val_total = val_mean.get("total", train_mean.get("total", float("inf")))
+        src = val_mean or train_mean
+        val_total = sum(src.get(k, float("inf")) for k in select_keys)
 
         row = {
             "epoch": epoch,
@@ -203,9 +214,10 @@ def _fit(
         logger.log(row)
         history.append(row)
         if verbose:
+            sel = "" if select_keys == ["total"] else f" select[{'+'.join(select_keys)}] {val_total:.4f}"
             print(
                 f"epoch {epoch}: train {train_mean.get('total', float('nan')):.4f} "
-                f"val {val_total:.4f} ({row['seconds']}s)"
+                f"val {src.get('total', float('nan')):.4f}{sel} ({row['seconds']}s)"
             )
 
         if ckpt_dir:

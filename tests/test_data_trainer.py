@@ -144,6 +144,27 @@ def test_fit_end_to_end(tmp_path):
     assert "train_mel" in out["history"][0] and "val_loud" in out["history"][0]
 
 
+def test_fit_select_metric(tmp_path):
+    """select_metric drives checkpoint selection/early stopping on the SUM
+    of the named val terms instead of the weighted total (robustness
+    fine-tune flow, see trainer.fit docstring)."""
+    cfg = dataclasses.replace(
+        _cfg(256), train=dataclasses.replace(_cfg(256).train, epochs=2)
+    )
+    ds = SyntheticClips(n=8, audio_len=256)
+    mk = lambda: BatchLoader(ds, batch_size=4, seed=0, num_workers=1)
+    out = fit(
+        cfg, mk(), mk(), ckpt_dir=str(tmp_path / "ck"),
+        select_metric="loc,dec", verbose=False,
+    )
+    h = out["history"]
+    assert len(h) == 2
+    # best_val tracks min over epochs of val_loc + val_dec, not val_total
+    expect = min(r["val_loc"] + r["val_dec"] for r in h)
+    assert out["best_val"] == pytest.approx(expect, rel=1e-6)
+    assert abs(out["best_val"] - min(r["val_total"] for r in h)) > 1e-6
+
+
 def test_fit_resume(tmp_path):
     cfg = dataclasses.replace(
         _cfg(256), train=dataclasses.replace(_cfg(256).train, epochs=1)
