@@ -57,7 +57,9 @@ def _load_session(args):
 
     state, gen, det = tr.init_state(cfg, jax.random.key(0))
     if getattr(args, "ckpt", None):
-        state, _, _ = ck.restore_checkpoint(args.ckpt, state)
+        # params-only restore: independent of which preset's optimizer
+        # produced the checkpoint
+        state, _, _ = ck.restore_params(args.ckpt, state)
         return InferenceSession.from_state(cfg, gen, det, state, compute_dtype=dtype)
     gvars = {"params": state.params["gen"], "batch_stats": state.batch_stats["gen"]}
     dvars = {"params": state.params["det"], "batch_stats": state.batch_stats["det"]}

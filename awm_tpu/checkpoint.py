@@ -67,6 +67,43 @@ def restore_checkpoint(path: str, state_template) -> Tuple[Any, int, float]:
     return restored["state"], int(meta["epoch"]), float(meta["best_val"])
 
 
+def restore_params(path: str, state_template) -> Tuple[Any, int, float]:
+    """Restore only {params, batch_stats} from a checkpoint into
+    state_template, ignoring opt_state/step on disk.
+
+    Inference consumers (InferenceSession.from_state, tools/demo_eval.py)
+    only read params+batch_stats, but a full restore_checkpoint requires the
+    template's opt_state TREE to match the checkpoint's — which depends on
+    which optax schedule the training preset used.  This restores the
+    weights regardless of the optimizer the checkpoint was trained with.
+    """
+    import orbax.checkpoint as ocp
+
+    _, path = _ckpt(path)
+    template = {
+        "state": {
+            "params": state_template.params,
+            "batch_stats": state_template.batch_stats,
+        },
+        "meta": {
+            "epoch": np.asarray(0, np.int32),
+            "best_val": np.asarray(0.0, np.float64),
+        },
+    }
+    # partial_restore: the on-disk tree has extra keys (state.opt_state,
+    # state.step) that the params-only template deliberately omits
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(item=template, partial_restore=True)
+        )
+    meta = restored["meta"]
+    state = state_template.replace(
+        params=restored["state"]["params"],
+        batch_stats=restored["state"]["batch_stats"],
+    )
+    return state, int(meta["epoch"]), float(meta["best_val"])
+
+
 def latest_path(ckpt_dir: str) -> str:
     return os.path.join(ckpt_dir, "ckpt_latest")
 

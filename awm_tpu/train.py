@@ -15,6 +15,7 @@ Schedules: constant Adam lr (main14) or OneCycle cosine
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, Dict, Tuple
 
 import flax.struct
@@ -51,6 +52,12 @@ def make_schedule(cfg: Config, steps_per_epoch: int = 1000):
         return sch.lr
     if sch.kind == "onecycle":
         total_steps = steps_per_epoch * cfg.train.epochs
+        # optax's cosine_onecycle returns NaN for EVERY step when a phase
+        # rounds to zero length (pct_start * total_steps < 1) — smoke-sized
+        # runs then train on NaN lr and never improve val.  Clamp so the
+        # warmup phase is always at least one step.
+        min_steps = math.ceil(1.0 / sch.pct_start) if sch.pct_start > 0 else 2
+        total_steps = max(total_steps, min_steps, 2)
         return optax.cosine_onecycle_schedule(
             transition_steps=total_steps,
             peak_value=sch.max_lr,

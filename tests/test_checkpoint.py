@@ -41,6 +41,29 @@ def test_orbax_roundtrip(tmp_path):
     assert int(restored.step) == int(state.step)
 
 
+def test_restore_params_across_presets(tmp_path):
+    """restore_params loads weights from a checkpoint trained with a
+    DIFFERENT preset's optimizer (onecycle vs plain adam opt_state trees
+    differ, which restore_checkpoint rejects — the demo_eval/oc20 bug)."""
+    oc = dataclasses.replace(get_config("onecycle20"), audio_len=512)
+    state, gen, det = tr.init_state(oc, jax.random.key(0))
+    tx = tr.make_optimizer(oc)
+    b = jnp.asarray(np.random.default_rng(0).standard_normal((4, 512)).astype(np.float32))
+    state, _ = tr.train_step(oc, gen, det, tx, state, b, jax.random.key(1))
+    p = str(tmp_path / "ckpt_best")
+    ck.save_checkpoint(p, state, epoch=5, best_val=2.5)
+
+    base_template, _, _ = tr.init_state(_cfg(), jax.random.key(9))
+    with pytest.raises(Exception):
+        ck.restore_checkpoint(p, base_template)  # opt_state trees differ
+    restored, epoch, best_val = ck.restore_params(p, base_template)
+    assert epoch == 5 and abs(best_val - 2.5) < 1e-12
+    for a, b_ in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    for a, b_ in zip(jax.tree.leaves(state.batch_stats), jax.tree.leaves(restored.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
 def test_maybe_resume(tmp_path):
     cfg = _cfg()
     state, gen, det = tr.init_state(cfg, jax.random.key(0))

@@ -253,3 +253,24 @@ def test_cli_train_augment_smoke(tmp_path):
     assert r.returncode == 0, r.stderr
     assert "best_val" in r.stdout
     assert os.path.isdir(str(tmp_path / "ck" / "ckpt_best"))
+
+
+def test_cli_embed_with_trained_ckpt(tmp_path, rng):
+    """--ckpt inference loads a checkpoint trained under a DIFFERENT
+    preset's optimizer (params-only restore, checkpoint.restore_params):
+    train with onecycle20's schedule, embed with the default base preset."""
+    r = _run_cli(
+        "--platform", "cpu", "train", "--preset", "onecycle20",
+        "--synthetic-n", "16", "--batch-size", "4", "--epochs", "1",
+        "--audio-len", "512", "--ckpt-dir", str(tmp_path / "ck"),
+    )
+    assert r.returncode == 0, r.stderr
+    src = str(tmp_path / "in.wav")
+    out = str(tmp_path / "wm.wav")
+    save_wav(src, (0.1 * rng.standard_normal(1600)).astype(np.float32), 16000)
+    r = _run_cli(
+        "--platform", "cpu", "embed", src, out, "--audio-len", "512",
+        "--ckpt", str(tmp_path / "ck" / "ckpt_best"), "--seed", "0",
+    )
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out)

@@ -105,6 +105,19 @@ def test_onecycle_schedule_shape():
     assert lrs[2] < sch.max_lr / 1000  # annealed way down
 
 
+def test_onecycle_schedule_finite_at_tiny_step_counts():
+    """optax's cosine_onecycle yields NaN for EVERY step when a phase rounds
+    to zero length (pct_start * total < 1); make_schedule clamps total_steps
+    so smoke-sized runs (3 steps/epoch, 1 epoch) still get a finite lr."""
+    import dataclasses
+
+    cfg = get_config("onecycle20")
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, epochs=1))
+    sched = tr.make_schedule(cfg, steps_per_epoch=3)
+    lrs = [float(sched(s)) for s in range(4)]
+    assert all(np.isfinite(v) and v > 0 for v in lrs), lrs
+
+
 def test_early_stopping():
     es = tr.EarlyStopping(patience=2, min_delta=0.001)
     for v in [1.0, 0.9, 0.8999, 0.8999]:

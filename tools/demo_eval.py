@@ -188,7 +188,8 @@ def main():
 
     cfg = get_config(args.preset)
     state, gen, det = tr.init_state(cfg, jax.random.key(0))
-    state, _, best_val = ck.restore_checkpoint(args.ckpt, state)
+    # params-only restore: works for checkpoints from ANY preset's optimizer
+    state, _, best_val = ck.restore_params(args.ckpt, state)
     sess = InferenceSession.from_state(cfg, gen, det, state)
     clips = _test_clips(cfg, args.synthetic_n, args.n_eval)
 
