@@ -13,12 +13,14 @@ from awm_tpu.ops.pallas.lstm_kernel import _pick_tc, lstm_pallas_forward
 
 
 def test_pick_tc():
-    assert _pick_tc(512, 16000, 64) == 8
-    assert _pick_tc(256, 16000, 64) == 16
-    assert _pick_tc(32, 16000, 64) == 128
-    assert 16000 % _pick_tc(1, 16000, 64) == 0
+    mb4 = 4 * 1024 * 1024  # pin the budget: AWM_LSTM_TILE_MB changes the default
+    assert _pick_tc(512, 16000, 64, budget=mb4) == 8
+    assert _pick_tc(256, 16000, 64, budget=mb4) == 16
+    assert _pick_tc(32, 16000, 64, budget=mb4) == 128
+    assert _pick_tc(512, 16000, 64, budget=4 * mb4) == 32  # larger budget -> longer tile
+    assert 16000 % _pick_tc(1, 16000, 64, budget=mb4) == 0
     # non-pow2-divisible T falls back to a divisor
-    assert 800 % _pick_tc(4, 800, 64) == 0
+    assert 800 % _pick_tc(4, 800, 64, budget=mb4) == 0
 
 
 @pytest.mark.parametrize("b,t", [(2, 256), (1, 128)])
