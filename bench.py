@@ -35,7 +35,7 @@ def _bench_inference(cfg, gen, det, state) -> float:
     rng = np.random.default_rng(0)
     t = np.arange(cfg.audio_len) / cfg.sample_rate
 
-    best = 0.0
+    best, best_detect = 0.0, 0.0
     for batch in (256, 512):
         clips = np.stack(
             [
@@ -59,7 +59,19 @@ def _bench_inference(cfg, gen, det, state) -> float:
         float(out["wm_prob"][0])  # host fence
         dt = (time.perf_counter() - t0) / n_iter
         best = max(best, batch / dt)
-    return best
+
+        # detect-only (the dominant serving op: verify arbitrary content).
+        # One batch size only: each extra shape is another remote compile,
+        # and compile-service latency varies minutes-wide (CLAUDE.md).
+        if batch == 512:
+            out = sess._detect_reduced(cj, lj)
+            float(out[3][0])
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                out = sess._detect_reduced(cj, lj)
+            float(out[3][0])
+            best_detect = batch * n_iter / (time.perf_counter() - t0)
+    return best, best_detect
 
 
 def _bench_train(cfg, gen, det, state) -> float:
@@ -92,7 +104,7 @@ def main():
     cfg = get_config("base")  # bf16 mixed-precision training by default
     state, gen, det = tr.init_state(cfg, jax.random.key(0))
 
-    infer = _bench_inference(cfg, gen, det, state)
+    infer, detect = _bench_inference(cfg, gen, det, state)
     train = _bench_train(cfg, gen, det, state)
 
     print(
@@ -104,6 +116,7 @@ def main():
                 "vs_baseline": round(infer / REF_CLIPS_PER_SEC, 2),
                 "train_clips_per_sec_per_chip": round(train, 1),
                 "train_vs_baseline": round(train / REF_TRAIN_CLIPS_PER_SEC, 2),
+                "detect_only_clips_per_sec_per_chip": round(detect, 1),
             }
         )
     )
