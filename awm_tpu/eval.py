@@ -413,10 +413,19 @@ def evaluate_robustness(
         atk_clean = np.asarray(fn(jnp.asarray(clips)))
         _, _, _, p_wm = session.detect_summary(atk_wm)
         _, _, _, p_clean = session.detect_summary(atk_clean)
+        # per-attack AUC: threshold-free separability.  An attack can push
+        # probabilities below the global 0.5 threshold (detect_rate 0) while
+        # the detector still ranks watermarked above clean perfectly — AUC
+        # distinguishes "miscalibrated under this channel" from "blind".
+        _, _, _, auc = roc_auc(
+            [1] * len(p_wm) + [0] * len(p_clean),
+            np.concatenate([p_wm, p_clean]),
+        )
         results[name] = {
             "wm_prob": float(p_wm.mean()),
             "clean_prob": float(p_clean.mean()),
             "detect_rate": float((p_wm > 0.5).mean()),
             "false_positive_rate": float((p_clean > 0.5).mean()),
+            "auc": float(auc),
         }
     return results

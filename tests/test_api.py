@@ -222,3 +222,8 @@ def test_evaluate_robustness(trained_session):
         assert 0.0 <= row["detect_rate"] <= 1.0
     # unattacked watermark must be detected better than clean
     assert table["none"]["wm_prob"] > table["none"]["clean_prob"]
+    # per-attack AUC present and sane; on the unattacked channel the ranking
+    # must be far better than chance for a trained session
+    for name, row in table.items():
+        assert 0.0 <= row["auc"] <= 1.0, name
+    assert table["none"]["auc"] > 0.9
