@@ -146,6 +146,23 @@ def roc_auc(labels: Sequence[int], probs: Sequence[float]):
     return fpr, tpr, thr, auc(fpr, tpr)
 
 
+def optimal_threshold(labels: Sequence[int], probs: Sequence[float]) -> Dict[str, float]:
+    """Youden's-J optimal decision threshold from ROC points.
+
+    Deployment companion to the fixed 0.5 threshold the reference uses
+    everywhere (ref: py/main14.py:914): a channel attack can shift the
+    probability mass below 0.5 while leaving the ranking perfect (see
+    evaluate_robustness AUC) — calibrating the threshold on a labeled
+    holdout recovers detection.  Returns {threshold, tpr, fpr, j}.
+    """
+    fpr, tpr, thr, _ = roc_auc(labels, probs)
+    j = tpr - fpr
+    i = int(np.argmax(j))
+    # sklearn's first ROC point uses an "inf" sentinel threshold; clamp to 1
+    t = float(min(thr[i], 1.0))
+    return {"threshold": t, "tpr": float(tpr[i]), "fpr": float(fpr[i]), "j": float(j[i])}
+
+
 def kfold_cv(labels: Sequence[int], preds: Sequence[int], k: int = 5, seed: int = 42):
     """K-fold CV of binary accuracy (ref: py/main14.py:1430-1453)."""
     labels = np.asarray(labels)
@@ -421,11 +438,19 @@ def evaluate_robustness(
             [1] * len(p_wm) + [0] * len(p_clean),
             np.concatenate([p_wm, p_clean]),
         )
+        cal = optimal_threshold(
+            [1] * len(p_wm) + [0] * len(p_clean),
+            np.concatenate([p_wm, p_clean]),
+        )
         results[name] = {
             "wm_prob": float(p_wm.mean()),
             "clean_prob": float(p_clean.mean()),
             "detect_rate": float((p_wm > 0.5).mean()),
             "false_positive_rate": float((p_clean > 0.5).mean()),
             "auc": float(auc),
+            # per-channel calibrated operating point (Youden's J)
+            "calibrated_threshold": cal["threshold"],
+            "detect_rate_calibrated": float((p_wm > cal["threshold"]).mean()),
+            "fpr_calibrated": float((p_clean > cal["threshold"]).mean()),
         }
     return results

@@ -226,4 +226,17 @@ def test_evaluate_robustness(trained_session):
     # must be far better than chance for a trained session
     for name, row in table.items():
         assert 0.0 <= row["auc"] <= 1.0, name
+        assert 0.0 <= row["calibrated_threshold"] <= 1.0, name
+        # the calibrated operating point dominates the fixed 0.5 threshold
+        j_fixed = row["detect_rate"] - row["false_positive_rate"]
+        j_cal = row["detect_rate_calibrated"] - row["fpr_calibrated"]
+        assert j_cal >= j_fixed - 1e-9, name
     assert table["none"]["auc"] > 0.9
+
+
+def test_optimal_threshold():
+    labels = [1, 1, 1, 0, 0, 0]
+    probs = [0.40, 0.45, 0.48, 0.10, 0.15, 0.20]  # separable, all below 0.5
+    cal = ev.optimal_threshold(labels, probs)
+    assert cal["tpr"] == 1.0 and cal["fpr"] == 0.0 and cal["j"] == 1.0
+    assert 0.20 < cal["threshold"] <= 0.40
