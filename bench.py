@@ -35,8 +35,11 @@ def _bench_inference(cfg, gen, det, state) -> float:
     rng = np.random.default_rng(0)
     t = np.arange(cfg.audio_len) / cfg.sample_rate
 
+    # single batch size: B=512 is the measured sweet spot (PERF.md sweep:
+    # 256 -> 4638, 512 -> 4786, 1024 -> 4755 pre-unroll), and every extra
+    # shape is another remote compile with minutes-wide latency variance
     best, best_detect = 0.0, 0.0
-    for batch in (256, 512):
+    for batch in (512,):
         clips = np.stack(
             [
                 0.3 * np.sin(2 * np.pi * f * t) + 0.02 * rng.standard_normal(cfg.audio_len)
