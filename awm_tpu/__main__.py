@@ -112,7 +112,12 @@ def cmd_train(args):
     if args.batch_size:
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, batch_size=args.batch_size))
     if args.lr:
-        sch = dataclasses.replace(cfg.train.schedule, lr=args.lr)
+        # set the field the active schedule actually reads: constant -> lr,
+        # onecycle -> max_lr (peak)
+        if cfg.train.schedule.kind == "onecycle":
+            sch = dataclasses.replace(cfg.train.schedule, max_lr=args.lr)
+        else:
+            sch = dataclasses.replace(cfg.train.schedule, lr=args.lr)
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, schedule=sch))
     if args.patience:
         cfg = dataclasses.replace(

@@ -153,14 +153,28 @@ def optimal_threshold(labels: Sequence[int], probs: Sequence[float]) -> Dict[str
     everywhere (ref: py/main14.py:914): a channel attack can shift the
     probability mass below 0.5 while leaving the ranking perfect (see
     evaluate_robustness AUC) — calibrating the threshold on a labeled
-    holdout recovers detection.  Returns {threshold, tpr, fpr, j}.
+    holdout recovers detection.  Returns {threshold, tpr, fpr, j, auc}.
+
+    sklearn's ROC thresholds ARE sample scores with `>=`-decision
+    semantics; the returned threshold is shifted to the midpoint between
+    the chosen score and the next one below, so the natural strict-`>`
+    decision rule reproduces the reported tpr/fpr exactly (including
+    boundary samples).
     """
-    fpr, tpr, thr, _ = roc_auc(labels, probs)
+    fpr, tpr, thr, auc = roc_auc(labels, probs)
     j = tpr - fpr
     i = int(np.argmax(j))
-    # sklearn's first ROC point uses an "inf" sentinel threshold; clamp to 1
-    t = float(min(thr[i], 1.0))
-    return {"threshold": t, "tpr": float(tpr[i]), "fpr": float(fpr[i]), "j": float(j[i])}
+    lo = float(thr[i + 1]) if i + 1 < len(thr) else float(np.min(probs)) - 1e-6
+    # midpoint below the `>=` score point (sklearn's first point is an
+    # "inf" sentinel; clamp into [0, 1])
+    t = float(np.clip((min(thr[i], 1.0) + min(lo, 1.0)) / 2.0, 0.0, 1.0))
+    return {
+        "threshold": t,
+        "tpr": float(tpr[i]),
+        "fpr": float(fpr[i]),
+        "j": float(j[i]),
+        "auc": float(auc),
+    }
 
 
 def kfold_cv(labels: Sequence[int], preds: Sequence[int], k: int = 5, seed: int = 42):
@@ -438,9 +452,14 @@ def evaluate_robustness(
             [1] * len(p_wm) + [0] * len(p_clean),
             np.concatenate([p_wm, p_clean]),
         )
+        # per-channel calibrated operating point (Youden's J), split-half:
+        # the threshold is fit on the even-indexed clips and the calibrated
+        # rates are measured on the held-out odd-indexed clips — in-sample
+        # calibration would let the threshold thread between the two
+        # empirical distributions and overstate the operating point.
         cal = optimal_threshold(
-            [1] * len(p_wm) + [0] * len(p_clean),
-            np.concatenate([p_wm, p_clean]),
+            [1] * len(p_wm[0::2]) + [0] * len(p_clean[0::2]),
+            np.concatenate([p_wm[0::2], p_clean[0::2]]),
         )
         results[name] = {
             "wm_prob": float(p_wm.mean()),
@@ -448,9 +467,8 @@ def evaluate_robustness(
             "detect_rate": float((p_wm > 0.5).mean()),
             "false_positive_rate": float((p_clean > 0.5).mean()),
             "auc": float(auc),
-            # per-channel calibrated operating point (Youden's J)
             "calibrated_threshold": cal["threshold"],
-            "detect_rate_calibrated": float((p_wm > cal["threshold"]).mean()),
-            "fpr_calibrated": float((p_clean > cal["threshold"]).mean()),
+            "detect_rate_calibrated": float((p_wm[1::2] > cal["threshold"]).mean()),
+            "fpr_calibrated": float((p_clean[1::2] > cal["threshold"]).mean()),
         }
     return results

@@ -130,3 +130,12 @@ def total_loss(
         total = total + cfg.hf_penalty_w * terms["hf"]
     terms["total"] = total
     return terms
+
+
+def term_keys(cfg: LossConfig) -> tuple:
+    """The keys total_loss will return under this config — lets callers
+    (trainer.fit select_metric) validate metric names before training."""
+    keys = ("loc", "dec", "l1", "mel", "loud")
+    if cfg.hf_penalty_w > 0.0:
+        keys = keys + ("hf",)
+    return keys + ("total",)

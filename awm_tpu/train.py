@@ -51,12 +51,17 @@ def make_schedule(cfg: Config, steps_per_epoch: int = 1000):
     if sch.kind == "constant":
         return sch.lr
     if sch.kind == "onecycle":
-        total_steps = steps_per_epoch * cfg.train.epochs
         # optax's cosine_onecycle returns NaN for EVERY step when a phase
-        # rounds to zero length (pct_start * total_steps < 1) — smoke-sized
-        # runs then train on NaN lr and never improve val.  Clamp so the
-        # warmup phase is always at least one step.
-        min_steps = math.ceil(1.0 / sch.pct_start) if sch.pct_start > 0 else 2
+        # has zero length: pct_start outside (0, 1) always does, and
+        # pct_start * total_steps < 1 rounds to it — smoke-sized runs then
+        # train on NaN lr and never improve val.  Reject the former, clamp
+        # total_steps so the warmup phase is always at least one step.
+        if not 0.0 < sch.pct_start < 1.0:
+            raise ValueError(
+                f"onecycle pct_start must be in (0, 1), got {sch.pct_start}"
+            )
+        total_steps = steps_per_epoch * cfg.train.epochs
+        min_steps = math.ceil(1.0 / min(sch.pct_start, 1.0 - sch.pct_start))
         total_steps = max(total_steps, min_steps, 2)
         return optax.cosine_onecycle_schedule(
             transition_steps=total_steps,

@@ -124,6 +124,14 @@ def _fit(
 ) -> Dict:
     epochs = epochs if epochs is not None else cfg.train.epochs
     select_keys = [k.strip() for k in select_metric.split(",")] if select_metric else ["total"]
+    from awm_tpu.losses import term_keys
+
+    unknown = [k for k in select_keys if k not in term_keys(cfg.loss)]
+    if unknown:  # fail BEFORE training: a typo'd key would otherwise make
+        # val inf forever, never write ckpt_best, and early-stop the run
+        raise ValueError(
+            f"select_metric key(s) {unknown} not in loss terms {list(term_keys(cfg.loss))}"
+        )
     rng = jax.random.key(seed)
     spe = steps_per_epoch or (len(train_batches) if hasattr(train_batches, "__len__") else 1000)
 
@@ -131,7 +139,10 @@ def _fit(
     tx = tr.make_optimizer(cfg, steps_per_epoch=spe)
 
     if init_from:  # fine-tune entry (main15c): start from a previous best
-        state, _, _ = ck.restore_checkpoint(init_from, state)
+        # params-only restore: the source run may have used a different
+        # preset's optimizer (opt_state trees differ), and the opt_state is
+        # reinitialized below anyway
+        state, _, _ = ck.restore_params(init_from, state)
         state = state.replace(step=jnp.zeros((), jnp.int32), opt_state=tx.init(state.params))
 
     start_epoch, best_val = 0, float("inf")

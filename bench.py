@@ -28,53 +28,48 @@ REF_CLIPS_PER_SEC = 278.0  # BASELINE.md main14 validation rate
 REF_TRAIN_CLIPS_PER_SEC = 76.5  # BASELINE.md main14 train rate midpoint
 
 
-def _bench_inference(cfg, gen, det, state) -> float:
+def _bench_inference(cfg, gen, det, state) -> "tuple[float, float]":
+    """Returns (embed+detect clips/s, detect-only clips/s) at B=512 — the
+    measured sweet spot (PERF.md sweep: 256 -> 4638, 512 -> 4786, 1024 ->
+    4755 pre-unroll).  One batch shape only: every extra shape is another
+    remote compile with minutes-wide latency variance."""
     from awm_tpu.api import InferenceSession
 
     sess = InferenceSession.from_state(cfg, gen, det, state)
     rng = np.random.default_rng(0)
     t = np.arange(cfg.audio_len) / cfg.sample_rate
+    batch, n_iter = 512, 12
 
-    # single batch size: B=512 is the measured sweet spot (PERF.md sweep:
-    # 256 -> 4638, 512 -> 4786, 1024 -> 4755 pre-unroll), and every extra
-    # shape is another remote compile with minutes-wide latency variance
-    best, best_detect = 0.0, 0.0
-    for batch in (512,):
-        clips = np.stack(
-            [
-                0.3 * np.sin(2 * np.pi * f * t) + 0.02 * rng.standard_normal(cfg.audio_len)
-                for f in np.linspace(150, 450, batch)
-            ]
-        ).astype(np.float32)
-        cj = jax.device_put(jnp.asarray(clips))
-        mj = jax.device_put(jnp.arange(batch, dtype=jnp.int32))
-        lj = jax.device_put(jnp.full((batch,), cfg.audio_len, jnp.int32))
+    clips = np.stack(
+        [
+            0.3 * np.sin(2 * np.pi * f * t) + 0.02 * rng.standard_normal(cfg.audio_len)
+            for f in np.linspace(150, 450, batch)
+        ]
+    ).astype(np.float32)
+    cj = jax.device_put(jnp.asarray(clips))
+    mj = jax.device_put(jnp.arange(batch, dtype=jnp.int32))
+    lj = jax.device_put(jnp.full((batch,), cfg.audio_len, jnp.int32))
 
-        out = sess._embed_detect(cj, mj, lj)  # compile
-        float(out["wm_prob"][0])
-        # steady-state: data stays device-resident (streaming pipelines keep
-        # H2D off the critical path; the tunnel H2D here is an artifact of
-        # the benchmarking harness, not the serving design)
-        n_iter = 12
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = sess._embed_detect(cj, mj, lj)
-        float(out["wm_prob"][0])  # host fence
-        dt = (time.perf_counter() - t0) / n_iter
-        best = max(best, batch / dt)
+    out = sess._embed_detect(cj, mj, lj)  # compile
+    float(out["wm_prob"][0])
+    # steady-state: data stays device-resident (streaming pipelines keep
+    # H2D off the critical path; the tunnel H2D here is an artifact of
+    # the benchmarking harness, not the serving design)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = sess._embed_detect(cj, mj, lj)
+    float(out["wm_prob"][0])  # host fence
+    fused = batch * n_iter / (time.perf_counter() - t0)
 
-        # detect-only (the dominant serving op: verify arbitrary content).
-        # One batch size only: each extra shape is another remote compile,
-        # and compile-service latency varies minutes-wide (CLAUDE.md).
-        if batch == 512:
-            out = sess._detect_reduced(cj, lj)
-            float(out[3][0])
-            t0 = time.perf_counter()
-            for _ in range(n_iter):
-                out = sess._detect_reduced(cj, lj)
-            float(out[3][0])
-            best_detect = batch * n_iter / (time.perf_counter() - t0)
-    return best, best_detect
+    # detect-only (the dominant serving op: verify arbitrary content)
+    out = sess._detect_reduced(cj, lj)
+    float(out[3][0])
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = sess._detect_reduced(cj, lj)
+    float(out[3][0])
+    detect = batch * n_iter / (time.perf_counter() - t0)
+    return fused, detect
 
 
 def _bench_train(cfg, gen, det, state) -> float:

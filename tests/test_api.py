@@ -227,11 +227,13 @@ def test_evaluate_robustness(trained_session):
     for name, row in table.items():
         assert 0.0 <= row["auc"] <= 1.0, name
         assert 0.0 <= row["calibrated_threshold"] <= 1.0, name
-        # the calibrated operating point dominates the fixed 0.5 threshold
-        j_fixed = row["detect_rate"] - row["false_positive_rate"]
-        j_cal = row["detect_rate_calibrated"] - row["fpr_calibrated"]
-        assert j_cal >= j_fixed - 1e-9, name
+        assert 0.0 <= row["detect_rate_calibrated"] <= 1.0, name
+        assert 0.0 <= row["fpr_calibrated"] <= 1.0, name
     assert table["none"]["auc"] > 0.9
+    # held-out calibrated operating point on the unattacked channel must
+    # separate a trained session well
+    assert table["none"]["detect_rate_calibrated"] > 0.9
+    assert table["none"]["fpr_calibrated"] < 0.1
 
 
 def test_optimal_threshold():
@@ -239,4 +241,17 @@ def test_optimal_threshold():
     probs = [0.40, 0.45, 0.48, 0.10, 0.15, 0.20]  # separable, all below 0.5
     cal = ev.optimal_threshold(labels, probs)
     assert cal["tpr"] == 1.0 and cal["fpr"] == 0.0 and cal["j"] == 1.0
-    assert 0.20 < cal["threshold"] <= 0.40
+    assert cal["auc"] == 1.0
+    # strict-> decision at the returned threshold reproduces tpr/fpr exactly
+    assert 0.20 < cal["threshold"] < 0.40
+    p = np.asarray(probs)
+    assert (p[:3] > cal["threshold"]).all() and not (p[3:] > cal["threshold"]).any()
+
+
+def test_optimal_threshold_saturated():
+    """All-confident detector: the '>=' ROC point is a sample score (1.0);
+    the midpoint shift keeps the strict-> rule from dropping every positive."""
+    cal = ev.optimal_threshold([1, 1, 0, 0], [1.0, 1.0, 0.0, 0.0])
+    assert cal["tpr"] == 1.0 and cal["fpr"] == 0.0
+    assert (np.asarray([1.0, 1.0]) > cal["threshold"]).all()
+    assert not (np.asarray([0.0, 0.0]) > cal["threshold"]).any()

@@ -165,6 +165,16 @@ def test_fit_select_metric(tmp_path):
     assert abs(out["best_val"] - min(r["val_total"] for r in h)) > 1e-6
 
 
+def test_fit_select_metric_typo_fails_fast(tmp_path):
+    """A typo'd select_metric key must raise BEFORE any training — silently
+    producing val=inf would never write ckpt_best and early-stop the run."""
+    cfg = _cfg(256)
+    ds = SyntheticClips(n=8, audio_len=256)
+    mk = lambda: BatchLoader(ds, batch_size=4, seed=0, num_workers=1)
+    with pytest.raises(ValueError, match="los"):
+        fit(cfg, mk(), mk(), select_metric="los,dec", verbose=False)
+
+
 def test_fit_resume(tmp_path):
     cfg = dataclasses.replace(
         _cfg(256), train=dataclasses.replace(_cfg(256).train, epochs=1)
