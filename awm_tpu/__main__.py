@@ -132,8 +132,9 @@ def cmd_train(args):
 
         # noise floor 15 dB: evaluating AT the curriculum's minimum SNR
         # (20 dB) failed when trained with min=20 — train past the eval edge
+        lo, hi = (float(x) for x in args.noise_snr.split(","))
         cfg = dataclasses.replace(cfg, augment=AugmentConfig(
-            noise_snr_db=(15.0, 40.0), volume_range=(0.3, 1.2),
+            noise_snr_db=(lo, hi), volume_range=(0.3, 1.2),
             lowpass_hz=7000.0, quantize=True, resample_hz=8000,
             attack_prob=args.attack_prob,
         ))
@@ -305,6 +306,10 @@ def main(argv=None):
                    "lowpass/quantize/resample, per-example probability)")
     p.add_argument("--attack-prob", type=float, default=0.35,
                    help="per-example per-attack application probability")
+    p.add_argument("--noise-snr", default="15,40",
+                   help="noise-attack SNR range 'min,max' dB for --augment "
+                        "(train past the eval edge: a curriculum whose MINIMUM "
+                        "equals the eval SNR leaves that SNR undetected)")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--data-parallel", action="store_true", help="shard over all local devices")
     p.add_argument("--model-parallel", type=int, default=1)

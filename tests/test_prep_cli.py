@@ -248,7 +248,8 @@ def test_cli_train_augment_smoke(tmp_path):
     r = _run_cli(
         "--platform", "cpu", "train", "--synthetic-n", "16", "--batch-size", "4",
         "--epochs", "1", "--audio-len", "512", "--augment", "--attack-prob", "0.5",
-        "--lr", "1e-3", "--patience", "2", "--ckpt-dir", str(tmp_path / "ck"),
+        "--noise-snr", "12,38", "--lr", "1e-3", "--patience", "2",
+        "--ckpt-dir", str(tmp_path / "ck"),
     )
     assert r.returncode == 0, r.stderr
     assert "best_val" in r.stdout
