@@ -37,6 +37,11 @@ class AugmentConfig:
     resample_hz: Optional[int] = None  # e.g. 8000 (down-up round trip)
     attack_prob: float = 1.0  # per-example, per-attack application probability
     sample_rate: int = 16000
+    # Apply the curriculum during validation too (deterministic, epoch-
+    # independent keys — see trainer.fit).  Without this, val loc/dec measure
+    # CLEAN detection, which is already converged when a robustness fine-tune
+    # starts, so best-checkpoint selection freezes at epoch 0.
+    val_attacks: bool = True
 
 
 def add_noise(x: jnp.ndarray, key: jax.Array, snr_db_range: Tuple[float, float]) -> jnp.ndarray:

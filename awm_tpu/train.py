@@ -201,13 +201,22 @@ def eval_step(
     state: TrainState,
     s: jnp.ndarray,
     rng: jax.Array,
+    aug_key: jax.Array | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Validation: same losses without grad, eval-mode BN
-    (ref: py/main14.py:241-283).  Returns the per-term dict."""
+    (ref: py/main14.py:241-283).  Returns the per-term dict.
+
+    When the run has an attack curriculum (cfg.augment) the trainer passes a
+    deterministic ``aug_key`` so validation measures detection UNDER the
+    curriculum's attacks — the clean-val loc/dec terms are already converged
+    when a robustness fine-tune starts, so selecting on them freezes the run
+    at epoch 0 (measured: runs/r2_ft4 clean-val select picked epoch 0 while
+    the attacked detect-rate climbed 0.33→0.875 through epoch 8)."""
     b = s.shape[0]
     message = jax.random.randint(rng, (b,), 0, 2**cfg.message_bits, dtype=jnp.int32)
     delta, s_w, logits, _ = _forward(
-        cfg, gen, det, state.params, state.batch_stats, s, message, train=False
+        cfg, gen, det, state.params, state.batch_stats, s, message, train=False,
+        aug_key=aug_key,
     )
     return total_loss(
         cfg.loss,

@@ -182,9 +182,19 @@ def _fit(
                 _val_iter[0] = None
         return None
 
+    # Validation under the attack curriculum: keys are folded from the run
+    # seed and the BATCH INDEX only (never the epoch), so every epoch's val
+    # sees the identical attack realizations — the select metric is
+    # comparable across epochs instead of jittering with attack draws.
+    def _val_aug_key(i: int):
+        if cfg.augment is not None and cfg.augment.val_attacks:
+            return jax.random.fold_in(rng, 70_000 + i)
+        return None
+
     def run_validation() -> Dict[str, float]:
         terms = [
-            _fetch(tr.eval_step(cfg, gen, det, state, put(b), jax.random.fold_in(rng, 7_000 + i)))
+            _fetch(tr.eval_step(cfg, gen, det, state, put(b), jax.random.fold_in(rng, 7_000 + i),
+                                aug_key=_val_aug_key(i)))
             for i, b in enumerate(val_iterable)
         ]
         return _mean_terms(terms) if terms else {}
@@ -204,7 +214,8 @@ def _fit(
                 qb = next_val_batch()
                 if qb is not None:
                     qv = _fetch(
-                        tr.eval_step(cfg, gen, det, state, put(qb), jax.random.fold_in(rng, 9_000 + i))
+                        tr.eval_step(cfg, gen, det, state, put(qb), jax.random.fold_in(rng, 9_000 + i),
+                                     aug_key=_val_aug_key(i))
                     )
                     if verbose:
                         print(f"  [quick-val @ step {i+1}] total={qv['total']:.4f} mel={qv.get('mel', 0):.4f}")

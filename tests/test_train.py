@@ -77,6 +77,29 @@ def test_eval_step_terms(batch):
     assert set(terms) >= {"total", "loc", "dec", "l1", "mel", "loud"}
 
 
+def test_eval_step_attacked_val(batch):
+    """With an attack curriculum, eval_step must measure detection UNDER the
+    attacks when given an aug_key (else robustness fine-tunes select on the
+    already-converged clean terms and freeze at epoch 0), and must be
+    deterministic in that key so the metric is comparable across epochs."""
+    import dataclasses
+
+    from awm_tpu.augment import AugmentConfig
+
+    cfg = dataclasses.replace(
+        _tiny_cfg(), augment=AugmentConfig(noise_snr_db=(5.0, 6.0), attack_prob=1.0)
+    )
+    state, gen, det = tr.init_state(cfg, jax.random.key(0))
+    clean = tr.eval_step(cfg, gen, det, state, batch, jax.random.key(3))
+    att1 = tr.eval_step(cfg, gen, det, state, batch, jax.random.key(3), aug_key=jax.random.key(9))
+    att2 = tr.eval_step(cfg, gen, det, state, batch, jax.random.key(3), aug_key=jax.random.key(9))
+    att3 = tr.eval_step(cfg, gen, det, state, batch, jax.random.key(3), aug_key=jax.random.key(10))
+    # same key -> bit-identical terms; attacks actually change the losses
+    assert float(att1["loc"]) == float(att2["loc"])
+    assert float(att1["loc"]) != float(clean["loc"])
+    assert float(att1["loc"]) != float(att3["loc"])
+
+
 def test_quality_preset_step(batch):
     """main16 preset: shaping chain active + hf term present; RMS cap holds."""
     cfg = _tiny_cfg("quality")
