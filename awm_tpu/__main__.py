@@ -137,6 +137,7 @@ def cmd_train(args):
             noise_snr_db=(lo, hi), volume_range=(0.3, 1.2),
             lowpass_hz=7000.0, quantize=True, resample_hz=8000,
             attack_prob=args.attack_prob,
+            val_attacks=not args.clean_val,
         ))
     if args.data:
         ds = OneSecClips(args.data, cfg.sample_rate, cfg.audio_len)
@@ -310,6 +311,13 @@ def main(argv=None):
                    help="noise-attack SNR range 'min,max' dB for --augment "
                         "(train past the eval edge: a curriculum whose MINIMUM "
                         "equals the eval SNR leaves that SNR undetected)")
+    p.add_argument("--clean-val", action="store_true",
+                   help="validate on CLEAN batches even with --augment.  By "
+                        "default validation applies the same attack curriculum "
+                        "with deterministic epoch-independent draws, so "
+                        "--select-metric loc,dec tracks detection UNDER attack "
+                        "(clean loc/dec are already converged at fine-tune "
+                        "start and would freeze selection at epoch 0)")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--data-parallel", action="store_true", help="shard over all local devices")
     p.add_argument("--model-parallel", type=int, default=1)
