@@ -115,6 +115,26 @@ def test_augmented_train_step_runs():
     assert np.isfinite(float(terms["total"]))
 
 
+def test_fit_attacked_validation_deterministic():
+    """fit() with a curriculum validates UNDER the attacks, deterministically
+    across runs (epoch-independent val keys), and val_attacks=False restores
+    clean validation — the trainer-level contract behind --select-metric."""
+    rng = np.random.default_rng(0)
+    clips = (rng.standard_normal((24, 256)) * 0.1).astype(np.float32)
+    tr_b, val_b = [clips[:16]], [clips[16:]]
+
+    def run(val_attacks):
+        cfg = _cfg(256, augment=AugmentConfig(
+            noise_snr_db=(5.0, 8.0), attack_prob=1.0, val_attacks=val_attacks))
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, epochs=2))
+        return fit(cfg, tr_b, val_b, seed=7, verbose=False,
+                   select_metric="loc,dec")["history"]
+
+    att, att2, clean = run(True), run(True), run(False)
+    assert [r["val_loc"] for r in att] == [r["val_loc"] for r in att2]
+    assert att[0]["val_loc"] != clean[0]["val_loc"]
+
+
 # -- trainer ---------------------------------------------------------------
 
 
