@@ -123,6 +123,18 @@ def cmd_train(args):
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, early_stop_patience=args.patience)
         )
+    if args.loss_weights:
+        # term names match --select-metric / the val CSV columns
+        field_of = {"l1": "lambda_l1", "mel": "lambda_msspec", "loud": "lambda_loud",
+                    "loc": "lambda_loc", "dec": "lambda_dec", "hf": "hf_penalty_w"}
+        over = {}
+        for kv in args.loss_weights.split(","):
+            k, _, v = kv.partition("=")
+            if k.strip() not in field_of or not v:
+                sys.exit(f"--loss-weights: expected term=value with term in "
+                         f"{sorted(field_of)}, got {kv!r}")
+            over[field_of[k.strip()]] = float(v)
+        cfg = dataclasses.replace(cfg, loss=dataclasses.replace(cfg.loss, **over))
     if args.augment:
         # the measured-good robustness curriculum (DEMO.md study): every
         # channel attack applied independently per example with p<1, on BOTH
@@ -311,6 +323,10 @@ def main(argv=None):
                    help="noise-attack SNR range 'min,max' dB for --augment "
                         "(train past the eval edge: a curriculum whose MINIMUM "
                         "equals the eval SNR leaves that SNR undetected)")
+    p.add_argument("--loss-weights",
+                   help="override loss-term weights, e.g. 'dec=5,l1=0.2' "
+                        "(terms: l1, mel, loud, loc, dec, hf — the preset's "
+                        "reference values otherwise, ref: py/main14.py:34-38)")
     p.add_argument("--clean-val", action="store_true",
                    help="validate on CLEAN batches even with --augment.  By "
                         "default validation applies the same attack curriculum "

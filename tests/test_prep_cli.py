@@ -256,6 +256,21 @@ def test_cli_train_augment_smoke(tmp_path):
     assert os.path.isdir(str(tmp_path / "ck" / "ckpt_best"))
 
 
+def test_cli_train_loss_weights(tmp_path):
+    """--loss-weights overrides per-term lambdas; bad term names fail fast."""
+    r = _run_cli(
+        "--platform", "cpu", "train", "--synthetic-n", "16", "--batch-size", "4",
+        "--epochs", "1", "--audio-len", "512", "--loss-weights", "dec=5,l1=0.2",
+        "--select-metric", "dec", "--ckpt-dir", str(tmp_path / "ck"),
+    )
+    assert r.returncode == 0, r.stderr
+    assert os.path.isdir(str(tmp_path / "ck" / "ckpt_best"))
+    r = _run_cli("--platform", "cpu", "train", "--synthetic-n", "16",
+                 "--loss-weights", "bogus=1")
+    assert r.returncode != 0
+    assert "loss-weights" in r.stderr
+
+
 def test_cli_embed_with_trained_ckpt(tmp_path, rng):
     """--ckpt inference loads a checkpoint trained under a DIFFERENT
     preset's optimizer (params-only restore, checkpoint.restore_params):
