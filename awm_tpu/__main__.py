@@ -123,6 +123,14 @@ def cmd_train(args):
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, early_stop_patience=args.patience)
         )
+    if args.message_encoding:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, message_encoding=args.message_encoding)
+        )
+    if args.dec_loss:
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss, dec_loss_mode=args.dec_loss)
+        )
     if args.loss_weights:
         # term names match --select-metric / the val CSV columns
         field_of = {"l1": "lambda_l1", "mel": "lambda_msspec", "loud": "lambda_loud",
@@ -323,6 +331,14 @@ def main(argv=None):
                    help="noise-attack SNR range 'min,max' dB for --augment "
                         "(train past the eval edge: a curriculum whose MINIMUM "
                         "equals the eval SNR leaves that SNR undetected)")
+    p.add_argument("--message-encoding", choices=("table", "bits"),
+                   help="message pathway: 'table' = reference Embedding(2^16) "
+                        "lookup; 'bits' = bit-compositional encoder (fixes "
+                        "the reference's decode collapse, models/generator.py)")
+    p.add_argument("--dec-loss", choices=("per_sample", "mean"),
+                   help="decode objective: 'per_sample' = reference BCE over "
+                        "every timestep; 'mean' = BCE on the time-mean logit "
+                        "(the statistic inference thresholds, losses.dec_loss)")
     p.add_argument("--loss-weights",
                    help="override loss-term weights, e.g. 'dec=5,l1=0.2' "
                         "(terms: l1, mel, loud, loc, dec, hf — the preset's "

@@ -33,6 +33,12 @@ class ModelConfig:
     # is shard_map-wrapped over the data axis (ops/pallas/lstm_fused_auto).
     lstm_impl: str = "auto"
     channels: int = 64  # base family conv width (ref: py/main14.py:95)
+    # Message pathway: "table" = the reference's Embedding(2^16, 64) lookup;
+    # "bits" = bit-compositional encoder (16 learned directions, sign-flipped
+    # per bit) — fixes the reference's decode collapse (models/generator.py).
+    # "bits" generators have no .pth importer (the reference has no such
+    # weights); all other params warm-start normally via restore_params.
+    message_encoding: str = "table"
     # strided family (ref: py/main14b_2.py:43-48)
     base_channels: int = 32
     hidden_dim: int = 32
@@ -50,6 +56,11 @@ class LossConfig:
     lambda_loud: float = 10.0
     lambda_loc: float = 10.0
     lambda_dec: float = 1.0
+    # "per_sample" = reference objective (bit target expanded over all T,
+    # ref: py/main14.py:220-223) — collapses to chance in the reference's own
+    # runs.  "mean" = BCE on the time-mean logit, the statistic the decode
+    # rule actually thresholds (losses.dec_loss).
+    dec_loss_mode: str = "per_sample"
     hf_penalty_w: float = 0.0  # main16 only (ref: py/main16.py:43)
     hf_cutoff_hz: float = 3500.0
     hf_n_fft: int = 512

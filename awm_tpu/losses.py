@@ -51,10 +51,26 @@ def loc_loss(detection_logits: jnp.ndarray) -> jnp.ndarray:
     return bce_with_logits(detection_logits, targets)
 
 
-def dec_loss(decode_logits: jnp.ndarray, message: jnp.ndarray, bits: int = 16) -> jnp.ndarray:
-    """Bit-decode BCE on the watermarked half.  decode_logits: (B, T, bits)."""
-    target = message_to_bits(message, bits)[:, None, :]  # (B, 1, bits)
-    target = jnp.broadcast_to(target, decode_logits.shape)
+def dec_loss(
+    decode_logits: jnp.ndarray,
+    message: jnp.ndarray,
+    bits: int = 16,
+    mode: str = "per_sample",
+) -> jnp.ndarray:
+    """Bit-decode BCE on the watermarked half.  decode_logits: (B, T, bits).
+
+    mode="per_sample" is the reference objective (ref: py/main14.py:220-223):
+    the target is expanded over all T, demanding every ~15-sample detector
+    window decode all 16 bits on its own — unsatisfiable at −42 dBFS delta,
+    so the optimum collapses to logit 0 (= the reference's published 0.5009
+    bit accuracy, BASELINE.md).  mode="mean" trains the statistic inference
+    actually thresholds — the TIME-MEAN logit (ref decode rule:
+    py/main14.py:925-929) — letting 16,000 weak per-window cues accumulate
+    into one decodable bit."""
+    target = message_to_bits(message, bits)  # (B, bits)
+    if mode == "mean":
+        return bce_with_logits(decode_logits.mean(axis=1), target)
+    target = jnp.broadcast_to(target[:, None, :], decode_logits.shape)
     return bce_with_logits(decode_logits, target)
 
 
@@ -113,7 +129,7 @@ def total_loss(
     decode_logits = logits[:b, :, 1:]
     terms = {
         "loc": loc_loss(detection_logits),
-        "dec": dec_loss(decode_logits, message, message_bits),
+        "dec": dec_loss(decode_logits, message, message_bits, mode=cfg.dec_loss_mode),
         "l1": l1_delta_loss(delta),
         "mel": mel_l1_loss(s, s_w, scales=cfg.mel_scales),
         "loud": tf_loudness_loss(s, s_w),

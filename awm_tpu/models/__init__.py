@@ -22,6 +22,7 @@ def build_models(model_cfg, dtype=None):
                 channels=model_cfg.channels,
                 lstm_impl=model_cfg.lstm_impl,
                 dtype=dtype,
+                message_encoding=model_cfg.message_encoding,
             ),
             Detector(message_bits=model_cfg.message_bits, channels=model_cfg.channels,
                      dtype=dtype),

@@ -33,6 +33,14 @@ class Generator(nn.Module):
     lstm_unroll: int = 16
     lstm_impl: str = "auto"
     dtype: Optional[Any] = None
+    # "table" = the reference's Embedding(2^16, 64) lookup (ref:
+    # py/main14.py:103).  "bits" = bit-compositional encoder: each of the 16
+    # bits contributes a learned 64-dim direction, sign-flipped by the bit
+    # value.  The table is why decode collapses to chance in the reference's
+    # own runs (BASELINE.md bit acc 0.5009): each of the 65,536 rows is
+    # sampled ~B/65536 times per step, so no bit-structured code can form;
+    # the 16 shared bit directions get gradient from EVERY example.
+    message_encoding: str = "table"  # "table" | "bits"
 
     @nn.compact
     def __call__(self, s: jnp.ndarray, message: jnp.ndarray | None = None, *, train: bool = False):
@@ -47,9 +55,21 @@ class Generator(nn.Module):
         x = LSTM(self.channels, unroll=self.lstm_unroll, impl=self.lstm_impl, name="lstm")(x)
 
         if self.message_bits > 0 and message is not None:
-            emb = Embedding(2**self.message_bits, self.channels, name="embedding")(
-                message
-            )  # (B, C)
+            if self.message_encoding == "bits":
+                from awm_tpu.models.messages import message_to_bits
+
+                signs = message_to_bits(message, self.message_bits) * 2.0 - 1.0
+                emb = nn.Dense(
+                    self.channels, use_bias=False, name="bit_proj",
+                    # sum of 16 +-1-weighted directions: stddev 1/4 per
+                    # direction gives unit variance per channel, matching the
+                    # table's N(0,1) rows
+                    kernel_init=nn.initializers.normal(stddev=0.25),
+                )(signs)  # (B, C)
+            else:
+                emb = Embedding(2**self.message_bits, self.channels, name="embedding")(
+                    message
+                )  # (B, C)
             x = x + emb[:, None, :].astype(x.dtype)  # broadcast over every timestep
 
         x = ConvTranspose1d(self.channels, 7, padding=3, dtype=self.dtype, name="dec_deconv")(x)

@@ -41,6 +41,28 @@ def test_dec_loss_bit_convention():
     assert float(losses.dec_loss(logits, msg)) < 1e-6
 
 
+def test_dec_loss_mean_mode():
+    """mode='mean' scores the TIME-MEAN logit (the inference decode
+    statistic): per-sample sign errors that cancel in the mean are free."""
+    msg = jnp.array([5], dtype=jnp.int32)  # bits [1,0,1,0,...]
+    bits = np.array([1, 0, 1] + [0] * 13, dtype=np.float32)
+    signs = (bits * 2 - 1)[None, None, :]
+    # alternate +-30 and -+10 per timestep: mean logit = +-10 (correct sign)
+    # but half the timesteps have the WRONG sign per-sample
+    logits = jnp.asarray(
+        np.concatenate([signs * 30.0, -signs * 10.0] * 5, axis=1), jnp.float32
+    )  # (1, 10, 16)
+    assert float(losses.dec_loss(logits, msg, mode="mean")) < 1e-4
+    assert float(losses.dec_loss(logits, msg, mode="per_sample")) > 1.0
+    # constant logits: both modes agree
+    const = jnp.broadcast_to(jnp.asarray(signs * 20.0), (1, 10, 16))
+    np.testing.assert_allclose(
+        float(losses.dec_loss(const, msg, mode="mean")),
+        float(losses.dec_loss(const, msg, mode="per_sample")),
+        rtol=1e-6,
+    )
+
+
 def test_mel_l1_matches_torch_mel(speechlike, rng):
     """End-to-end check of the mel loss vs a from-scratch torch replica of
     torchaudio's MelSpectrogram (center pad, HTK fbanks, power 2)."""

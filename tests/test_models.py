@@ -57,6 +57,21 @@ def test_generator_message_changes_delta(gen_det):
     assert float(jnp.abs(d1 - d2).max()) > 1e-6
 
 
+def test_generator_bits_encoding():
+    """message_encoding='bits': bit-compositional pathway replaces the 2^16
+    table; flipping ONE bit changes delta; param tree has no 64k-row table."""
+    gen = Generator(message_bits=16, message_encoding="bits")
+    s = jnp.asarray(np.random.default_rng(0).standard_normal((1, T)), dtype=jnp.float32)
+    gvars = gen.init(jax.random.key(0), s, jnp.array([0], dtype=jnp.int32))
+    params = gvars["params"]
+    assert "bit_proj" in params and "embedding" not in params
+    assert params["bit_proj"]["kernel"].shape == (16, 64)
+    d1 = gen.apply(gvars, s, jnp.array([0b0000], dtype=jnp.int32))
+    d2 = gen.apply(gvars, s, jnp.array([0b0100], dtype=jnp.int32))
+    assert float(jnp.abs(d1 - d2).max()) > 1e-6
+    assert d1.shape == (1, T)
+
+
 def test_generator_without_message(gen_det):
     gen, _, gvars, _ = gen_det
     s = jnp.zeros((1, T))

@@ -170,6 +170,10 @@ def main():
     ap.add_argument("--n-eval", type=int, default=1024)
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--sections", default="quality,robust,music,cross")
+    ap.add_argument("--message-encoding", choices=("table", "bits"), default=None,
+                    help="override the preset's generator message pathway "
+                         "(needed to evaluate --message-encoding bits ckpts)")
+    ap.add_argument("--dec-loss", choices=("per_sample", "mean"), default=None)
     ap.add_argument("--torch-detector", default="/root/reference/models/detector_best.pth")
     ap.add_argument("--platform", default=None, help="force a jax platform (cpu/tpu/axon)")
     args = ap.parse_args()
@@ -187,6 +191,17 @@ def main():
     from awm_tpu.config import get_config
 
     cfg = get_config(args.preset)
+    if args.message_encoding or args.dec_loss:
+        import dataclasses
+
+        if args.message_encoding:
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, message_encoding=args.message_encoding)
+            )
+        if args.dec_loss:
+            cfg = dataclasses.replace(
+                cfg, loss=dataclasses.replace(cfg.loss, dec_loss_mode=args.dec_loss)
+            )
     state, gen, det = tr.init_state(cfg, jax.random.key(0))
     # params-only restore: works for checkpoints from ANY preset's optimizer
     state, _, best_val = ck.restore_params(args.ckpt, state)
