@@ -67,7 +67,7 @@ def restore_checkpoint(path: str, state_template) -> Tuple[Any, int, float]:
     return restored["state"], int(meta["epoch"]), float(meta["best_val"])
 
 
-def restore_params(path: str, state_template) -> Tuple[Any, int, float]:
+def restore_params(path: str, state_template, allow_missing: bool = False) -> Tuple[Any, int, float]:
     """Restore only {params, batch_stats} from a checkpoint into
     state_template, ignoring opt_state/step on disk.
 
@@ -76,6 +76,12 @@ def restore_params(path: str, state_template) -> Tuple[Any, int, float]:
     template's opt_state TREE to match the checkpoint's — which depends on
     which optax schedule the training preset used.  This restores the
     weights regardless of the optimizer the checkpoint was trained with.
+
+    allow_missing=True additionally tolerates template leaves ABSENT from the
+    checkpoint: those keep their freshly-initialized values.  This is the
+    cross-architecture warm-start path (e.g. fine-tuning a
+    message_encoding='bits' generator from a 'table' checkpoint: conv/LSTM/
+    detector weights restore, the new bit_proj trains from init).
     """
     import orbax.checkpoint as ocp
 
@@ -90,16 +96,52 @@ def restore_params(path: str, state_template) -> Tuple[Any, int, float]:
             "best_val": np.asarray(0.0, np.float64),
         },
     }
-    # partial_restore: the on-disk tree has extra keys (state.opt_state,
-    # state.step) that the params-only template deliberately omits
     with ocp.PyTreeCheckpointer() as ckptr:
+        # intersect the template with the on-disk tree ourselves: orbax's
+        # partial_restore SILENTLY keeps template values for leaves absent
+        # from the checkpoint, which would let a wholly mismatched restore
+        # "succeed" with freshly-initialized weights
+        on_disk = ckptr.metadata(path).item_metadata
+        skipped = []
+
+        def _prune(tpl, meta, prefix):
+            if not isinstance(tpl, dict):
+                return tpl
+            out = {}
+            for k, v in tpl.items():
+                if k not in meta:
+                    skipped.append("/".join(prefix + (k,)))
+                elif isinstance(v, dict):
+                    out[k] = _prune(v, meta[k], prefix + (k,))
+                else:
+                    out[k] = v
+            return out
+
+        template = _prune(template, on_disk, ())
+        if skipped and not allow_missing:
+            raise ValueError(
+                f"{len(skipped)} template leaves absent from checkpoint {path}: "
+                f"{', '.join(skipped[:8])}{'...' if len(skipped) > 8 else ''} "
+                f"(pass allow_missing=True to warm-start them from init)"
+            )
+        # partial_restore: the on-disk tree has extra keys (state.opt_state,
+        # state.step) that the params-only template deliberately omits
         restored = ckptr.restore(
             path, args=ocp.args.PyTreeRestore(item=template, partial_restore=True)
         )
+    if skipped:
+        print(f"restore_params: kept init for {len(skipped)} leaves absent "
+              f"from {path}: {', '.join(skipped[:8])}")
+
+    def _merge(tpl, res):
+        if not isinstance(tpl, dict):
+            return res
+        return {k: (_merge(v, res[k]) if k in res else v) for k, v in tpl.items()}
+
     meta = restored["meta"]
     state = state_template.replace(
-        params=restored["state"]["params"],
-        batch_stats=restored["state"]["batch_stats"],
+        params=_merge(state_template.params, restored["state"]["params"]),
+        batch_stats=_merge(state_template.batch_stats, restored["state"]["batch_stats"]),
     )
     return state, int(meta["epoch"]), float(meta["best_val"])
 

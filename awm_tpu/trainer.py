@@ -141,8 +141,10 @@ def _fit(
     if init_from:  # fine-tune entry (main15c): start from a previous best
         # params-only restore: the source run may have used a different
         # preset's optimizer (opt_state trees differ), and the opt_state is
-        # reinitialized below anyway
-        state, _, _ = ck.restore_params(init_from, state)
+        # reinitialized below anyway.  allow_missing: cross-architecture
+        # warm-starts (e.g. --message-encoding bits from a table ckpt) keep
+        # init values for new params — restore_params prints which
+        state, _, _ = ck.restore_params(init_from, state, allow_missing=True)
         state = state.replace(step=jnp.zeros((), jnp.int32), opt_state=tx.init(state.params))
 
     start_epoch, best_val = 0, float("inf")

@@ -64,6 +64,41 @@ def test_restore_params_across_presets(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
 
 
+def test_restore_params_allow_missing_cross_arch(tmp_path):
+    """Warm-start a message_encoding='bits' model from a 'table' checkpoint:
+    shared conv/LSTM/detector weights restore, the new bit_proj keeps its
+    init (and the on-disk 64k-row table is ignored)."""
+    cfg = _cfg()
+    state, gen, det = tr.init_state(cfg, jax.random.key(0))
+    tx = tr.make_optimizer(cfg)
+    b = jnp.asarray(np.random.default_rng(0).standard_normal((4, 512)).astype(np.float32))
+    state, _ = tr.train_step(cfg, gen, det, tx, state, b, jax.random.key(1))
+    p = str(tmp_path / "ckpt_best")
+    ck.save_checkpoint(p, state, epoch=2, best_val=3.0)
+
+    bits_cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, message_encoding="bits")
+    )
+    template, _, _ = tr.init_state(bits_cfg, jax.random.key(9))
+    with pytest.raises(Exception):
+        ck.restore_params(p, template)  # strict: bit_proj absent on disk
+    restored, _, _ = ck.restore_params(p, template, allow_missing=True)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["gen"]["enc_conv"]["w"]),
+        np.asarray(state.params["gen"]["enc_conv"]["w"]),
+    )
+    for a, b_ in zip(
+        jax.tree.leaves(state.params["det"]), jax.tree.leaves(restored.params["det"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    # the new head kept its INIT values, untouched by the restore
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["gen"]["bit_proj"]["kernel"]),
+        np.asarray(template.params["gen"]["bit_proj"]["kernel"]),
+    )
+    assert "embedding" not in restored.params["gen"]
+
+
 def test_maybe_resume(tmp_path):
     cfg = _cfg()
     state, gen, det = tr.init_state(cfg, jax.random.key(0))
