@@ -45,7 +45,7 @@ def section_quality(sess, clips, cfg, batch: int):
     from awm_tpu.utils.audio_io import save_wav
 
     rng = np.random.default_rng(0)
-    p_wm, p_clean, bits, d_rms, s_rms = [], [], [], [], []
+    p_wm, p_clean, bits, bits_ml, d_rms, s_rms = [], [], [], [], [], []
     for i in range(0, len(clips), batch):
         s = clips[i : i + batch]
         msgs = rng.integers(0, 2**sess.message_bits, size=len(s)).astype(np.int32)
@@ -55,6 +55,9 @@ def section_quality(sess, clips, cfg, batch: int):
         votes = out["msg_vote_frac"] > 0.5
         target = (msgs[:, None] & (1 << np.arange(sess.message_bits))) > 0
         bits.extend((votes == target).mean(axis=1))
+        # the detect_watermark decode rule (time-mean logit > 0,
+        # ref: py/main14.py:925-929) — what dec_loss_mode='mean' trains
+        bits_ml.extend(((out["msg_logit_mean"] > 0) == target).mean(axis=1))
         d_rms.extend(out["delta_rms"])
         s_rms.extend(np.sqrt((s**2).mean(axis=1)))
     p_wm, p_clean = np.asarray(p_wm), np.asarray(p_clean)
@@ -78,6 +81,7 @@ def section_quality(sess, clips, cfg, batch: int):
         "false_positive_rate": float((p_clean > 0.5).mean()),
         "roc_auc": float(auc),
         "bit_accuracy": float(np.mean(bits)),
+        "bit_accuracy_mean_logit": float(np.mean(bits_ml)),
         "delta_rms": float(d_rms.mean()),
         "power_ratio_db": float((20 * np.log10(s_rms / np.maximum(d_rms, 1e-12))).mean()),
         "file_roundtrip": {
