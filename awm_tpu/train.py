@@ -25,7 +25,12 @@ import optax
 
 from awm_tpu.config import Config
 from awm_tpu.losses import total_loss
-from awm_tpu.models import build_models, decode_bits_majority, message_to_bits
+from awm_tpu.models import (
+    build_models,
+    decode_bits_majority,
+    decode_bits_mean_logit,
+    message_to_bits,
+)
 from awm_tpu.shaping import apply_channel, shape_delta
 
 
@@ -249,10 +254,14 @@ def evaluate_step(
     decoded = decode_bits_majority(logits[:b, :, 1:])
     target_bits = message_to_bits(message, cfg.message_bits)
     bit_acc = (decoded == target_bits).astype(jnp.float32).mean(axis=1)
+    # the detect_watermark rule (time-mean logit > 0, ref: py/main14.py:925-929)
+    decoded_ml = decode_bits_mean_logit(logits[:b, :, 1:])
+    bit_acc_ml = (decoded_ml == target_bits).astype(jnp.float32).mean(axis=1)
     return {
         "watermarked_prob": detection_probs[:b],
         "clean_prob": detection_probs[b:],
         "bit_accuracy": bit_acc,
+        "bit_accuracy_mean_logit": bit_acc_ml,
         "delta_rms": jnp.sqrt(jnp.mean(jnp.square(delta), axis=1)),
     }
 
