@@ -127,6 +127,10 @@ def cmd_train(args):
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, message_encoding=args.message_encoding)
         )
+    if args.decode_head:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, decode_head=args.decode_head)
+        )
     if args.dec_loss:
         cfg = dataclasses.replace(
             cfg, loss=dataclasses.replace(cfg.loss, dec_loss_mode=args.dec_loss)
@@ -335,6 +339,10 @@ def main(argv=None):
                    help="message pathway: 'table' = reference Embedding(2^16) "
                         "lookup; 'bits' = bit-compositional encoder (fixes "
                         "the reference's decode collapse, models/generator.py)")
+    p.add_argument("--decode-head", choices=("shared", "dilated"),
+                   help="detector bit-channel head: 'shared' = reference 1x1 "
+                        "conv (15-sample RF); 'dilated' = dilated-conv stack "
+                        "(~147 ms RF) for learnable message decode")
     p.add_argument("--dec-loss", choices=("per_sample", "mean"),
                    help="decode objective: 'per_sample' = reference BCE over "
                         "every timestep; 'mean' = BCE on the time-mean logit "

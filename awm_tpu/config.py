@@ -39,6 +39,10 @@ class ModelConfig:
     # "bits" generators have no .pth importer (the reference has no such
     # weights); all other params warm-start normally via restore_params.
     message_encoding: str = "table"
+    # Detector bit-channel head: "shared" = the reference's single 1x1 conv
+    # (15-sample RF); "dilated" = dilated-conv decode head (~147 ms RF) —
+    # see models/detector.py.  Detection is unaffected either way.
+    decode_head: str = "shared"
     # strided family (ref: py/main14b_2.py:43-48)
     base_channels: int = 32
     hidden_dim: int = 32

@@ -25,7 +25,7 @@ def build_models(model_cfg, dtype=None):
                 message_encoding=model_cfg.message_encoding,
             ),
             Detector(message_bits=model_cfg.message_bits, channels=model_cfg.channels,
-                     dtype=dtype),
+                     dtype=dtype, decode_head=model_cfg.decode_head),
         )
     if model_cfg.family == "strided":
         return (

@@ -41,6 +41,7 @@ class Conv1d(nn.Module):
     kernel_size: int
     stride: int = 1
     padding: int = 0
+    dilation: int = 1
     use_bias: bool = True
     dtype: Optional[Any] = None
 
@@ -59,7 +60,9 @@ class Conv1d(nn.Module):
         if self.dtype is not None:
             x, w = x.astype(self.dtype), w.astype(self.dtype)
             b = b.astype(self.dtype) if b is not None else None
-        return conv1d(x, w, b, stride=self.stride, padding=self.padding)
+        return conv1d(
+            x, w, b, stride=self.stride, padding=self.padding, dilation=self.dilation
+        )
 
 
 class ConvTranspose1d(nn.Module):

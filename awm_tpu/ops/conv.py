@@ -25,13 +25,18 @@ def conv1d(
     *,
     stride: int = 1,
     padding: int = 0,
+    dilation: int = 1,
 ) -> jnp.ndarray:
-    """torch.nn.Conv1d equivalent.  x: (B, T, Cin), w: (k, Cin, Cout)."""
+    """torch.nn.Conv1d equivalent.  x: (B, T, Cin), w: (k, Cin, Cout).
+
+    dilation follows torch's semantics (kernel-tap spacing); same-length
+    output needs padding = dilation * (k - 1) // 2 for odd k."""
     out = jax.lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride,),
         padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
         dimension_numbers=_DIMS,
     )
     if b is not None:

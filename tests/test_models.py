@@ -72,6 +72,27 @@ def test_generator_bits_encoding():
     assert d1.shape == (1, T)
 
 
+def test_detector_dilated_decode_head():
+    """decode_head='dilated': same (B, T, 1+bits) output; detection channel
+    comes from the SHARED reference trunk (bit-identical to decode_head=
+    'shared' given the same trunk params); bit channels from the dilated
+    stack."""
+    det_s = Detector(message_bits=16)
+    det_d = Detector(message_bits=16, decode_head="dilated")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, T)), dtype=jnp.float32)
+    vs = det_s.init(jax.random.key(0), x)
+    vd = det_d.init(jax.random.key(0), x)
+    assert {"dec_dil1", "dec_dil2", "dec_dil3", "dec_out"} <= set(vd["params"])
+    out = det_d.apply(vd, x)
+    assert out.shape == (2, T, 17)
+    # graft the dilated model's trunk params into the shared model: channel 0
+    # must match exactly (imported reference checkpoints keep their behavior)
+    trunk = {k: vd["params"][k] for k in ("conv_in", "res1", "res2", "conv_out")}
+    bs = {k: vd["batch_stats"][k] for k in ("res1", "res2")}
+    out_s = det_s.apply({"params": trunk, "batch_stats": bs}, x)
+    np.testing.assert_array_equal(np.asarray(out[..., 0]), np.asarray(out_s[..., 0]))
+
+
 def test_generator_without_message(gen_det):
     gen, _, gvars, _ = gen_det
     s = jnp.zeros((1, T))

@@ -31,6 +31,23 @@ def test_conv1d_matches_torch(rng, stride, padding, k):
     np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
+@pytest.mark.parametrize("dilation", [2, 16, 128])
+def test_conv1d_dilation_matches_torch(rng, dilation):
+    import torch
+
+    b, cin, cout, t, k = 2, 3, 4, 2048, 3
+    pad = dilation * (k - 1) // 2
+    x = rng.standard_normal((b, t, cin)).astype(np.float32)
+    w = rng.standard_normal((k, cin, cout)).astype(np.float32) * 0.2
+    ours = np.asarray(conv1d(jnp.asarray(x), jnp.asarray(w), stride=1, padding=pad, dilation=dilation))
+    tx = torch.from_numpy(x).permute(0, 2, 1)
+    tw = torch.from_numpy(w).permute(2, 1, 0)
+    ref = torch.nn.functional.conv1d(tx, tw, stride=1, padding=pad, dilation=dilation)
+    ref = ref.permute(0, 2, 1).numpy()
+    assert ours.shape == ref.shape == (b, t, cout)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
 @pytest.mark.parametrize(
     "stride,padding,out_pad,k",
     [(1, 3, 0, 7), (2, 1, 0, 4), (4, 2, 0, 8), (5, 2, 0, 10), (8, 4, 0, 16), (3, 1, 1, 5)],

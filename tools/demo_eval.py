@@ -178,6 +178,7 @@ def main():
                     help="override the preset's generator message pathway "
                          "(needed to evaluate --message-encoding bits ckpts)")
     ap.add_argument("--dec-loss", choices=("per_sample", "mean"), default=None)
+    ap.add_argument("--decode-head", choices=("shared", "dilated"), default=None)
     ap.add_argument("--torch-detector", default="/root/reference/models/detector_best.pth")
     ap.add_argument("--platform", default=None, help="force a jax platform (cpu/tpu/axon)")
     args = ap.parse_args()
@@ -195,12 +196,16 @@ def main():
     from awm_tpu.config import get_config
 
     cfg = get_config(args.preset)
-    if args.message_encoding or args.dec_loss:
+    if args.message_encoding or args.dec_loss or args.decode_head:
         import dataclasses
 
         if args.message_encoding:
             cfg = dataclasses.replace(
                 cfg, model=dataclasses.replace(cfg.model, message_encoding=args.message_encoding)
+            )
+        if args.decode_head:
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, decode_head=args.decode_head)
             )
         if args.dec_loss:
             cfg = dataclasses.replace(
