@@ -30,6 +30,17 @@ def _cfg_for(args):
     cfg = get_config(args.preset)
     if getattr(args, "audio_len", None):
         cfg = dataclasses.replace(cfg, audio_len=args.audio_len)
+    # architecture variants must match the checkpoint being loaded — a
+    # mismatched decode_head would silently decode from untrained channels
+    # (restore_params only catches the bits-encoder mismatch loudly)
+    if getattr(args, "message_encoding", None):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, message_encoding=args.message_encoding)
+        )
+    if getattr(args, "decode_head", None):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, decode_head=args.decode_head)
+        )
     return cfg
 
 
@@ -44,6 +55,29 @@ def _load_session(args):
     import jax.numpy as jnp
 
     cfg = _cfg_for(args)
+    if getattr(args, "ckpt", None):
+        # self-describing checkpoints: adopt the recorded architecture so a
+        # variant checkpoint (e.g. --decode-head dilated) can never be loaded
+        # into the wrong detector silently; explicit flags only validate
+        arch = ck.read_arch(args.ckpt)
+        if arch is not None:
+            from awm_tpu.config import ModelConfig
+
+            known = {f.name for f in dataclasses.fields(ModelConfig)}
+            arch = {k: v for k, v in arch.items() if k in known}
+            if "strides" in arch:
+                arch["strides"] = tuple(arch["strides"])
+            recorded = ModelConfig(**arch)
+            for flag in ("message_encoding", "decode_head"):
+                given = getattr(args, flag, None)
+                if given and given != getattr(recorded, flag):
+                    sys.exit(
+                        f"--{flag.replace('_', '-')}={given} conflicts with the "
+                        f"checkpoint's recorded architecture "
+                        f"({flag}={getattr(recorded, flag)!r} in "
+                        f"{args.ckpt}/{ck.ARCH_FILE})"
+                    )
+            cfg = dataclasses.replace(cfg, model=recorded)
     from_torch = getattr(args, "torch_generator", None) or getattr(
         args, "torch_detector", None
     )
@@ -142,10 +176,11 @@ def cmd_train(args):
         over = {}
         for kv in args.loss_weights.split(","):
             k, _, v = kv.partition("=")
-            if k.strip() not in field_of or not v:
+            try:
+                over[field_of[k.strip()]] = float(v)
+            except (KeyError, ValueError):
                 sys.exit(f"--loss-weights: expected term=value with term in "
-                         f"{sorted(field_of)}, got {kv!r}")
-            over[field_of[k.strip()]] = float(v)
+                         f"{sorted(field_of)} and a numeric value, got {kv!r}")
         cfg = dataclasses.replace(cfg, loss=dataclasses.replace(cfg.loss, **over))
     if args.augment:
         # the measured-good robustness curriculum (DEMO.md study): every
@@ -288,6 +323,16 @@ def _add_session_args(p):
         help="inference compute dtype (default: bfloat16, or float32 when "
         "importing --torch-* weights for strict checkpoint parity)",
     )
+    # architecture variants: MUST match how the checkpoint was trained.  A
+    # dilated-head checkpoint loaded into the default shared-head detector
+    # restores cleanly (the shared template is a subset) but decodes bits
+    # from conv_out channels that received zero gradient during training.
+    p.add_argument("--message-encoding", choices=("table", "bits"),
+                   help="generator message pathway the checkpoint was trained "
+                        "with (train --message-encoding)")
+    p.add_argument("--decode-head", choices=("shared", "dilated"),
+                   help="detector bit head the checkpoint was trained with "
+                        "(train --decode-head)")
 
 
 def main(argv=None):

@@ -35,8 +35,40 @@ def _ckpt(path: str):
     return ocp.StandardCheckpointer(), os.path.abspath(path)
 
 
-def save_checkpoint(path: str, state, *, epoch: int = 0, best_val: float = float("inf")) -> None:
-    """Write {state, epoch, best_val} at path (overwrites)."""
+ARCH_FILE = "awm_arch.json"
+
+
+def write_arch(path: str, model_cfg) -> None:
+    """Record the ModelConfig next to the orbax tree (inside the checkpoint
+    directory) so inference can reconstruct the exact architecture variant
+    without user flags.  A dilated-head checkpoint loaded into the default
+    shared-head detector restores cleanly (subset tree) but decodes bits
+    from channels that received zero gradient — self-description prevents
+    that silent failure."""
+    import dataclasses
+    import json
+
+    with open(os.path.join(os.path.abspath(path), ARCH_FILE), "w") as f:
+        json.dump(dataclasses.asdict(model_cfg), f, indent=1)
+
+
+def read_arch(path: str):
+    """Return the recorded ModelConfig dict, or None for checkpoints written
+    before architecture self-description (they are all default-arch)."""
+    import json
+
+    p = os.path.join(os.path.abspath(path), ARCH_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def save_checkpoint(path: str, state, *, epoch: int = 0,
+                    best_val: float = float("inf"), model_cfg=None) -> None:
+    """Write {state, epoch, best_val} at path (overwrites).  model_cfg, if
+    given, is recorded as an arch sidecar (write_arch) AFTER the orbax save
+    — ckptr.save(force=True) clears the directory first."""
     import orbax.checkpoint as ocp
 
     ckptr, path = _ckpt(path)
@@ -49,6 +81,8 @@ def save_checkpoint(path: str, state, *, epoch: int = 0, best_val: float = float
     }
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
+    if model_cfg is not None:
+        write_arch(path, model_cfg)
 
 
 def restore_checkpoint(path: str, state_template) -> Tuple[Any, int, float]:
@@ -114,10 +148,36 @@ def restore_params(path: str, state_template, allow_missing: bool = False) -> Tu
                 elif isinstance(v, dict):
                     out[k] = _prune(v, meta[k], prefix + (k,))
                 else:
-                    out[k] = v
+                    # a same-named leaf with a DIFFERENT shape is a different
+                    # parameter (e.g. base vs strided 'gen/embedding/table');
+                    # restoring it would crash deep in orbax — treat as absent
+                    want = tuple(getattr(v, "shape", ()) or ())
+                    disk = tuple(getattr(meta[k], "shape", ()) or ())
+                    if want and disk and want != disk:
+                        skipped.append(
+                            "/".join(prefix + (k,)) + f" (shape {want} != on-disk {disk})"
+                        )
+                    else:
+                        out[k] = v
             return out
 
         template = _prune(template, on_disk, ())
+
+        # even with allow_missing, a restore that matches ZERO parameter
+        # leaves is a wrong-path / wrong-family mistake, not a warm-start:
+        # letting it "succeed" would train entirely from fresh init while
+        # claiming to fine-tune (the exact failure this function's strict
+        # mode exists to prevent)
+        def _n_leaves(t):
+            return sum(_n_leaves(v) for v in t.values()) if isinstance(t, dict) else 1
+
+        if _n_leaves(template.get("state", {}).get("params", {})) == 0:
+            raise ValueError(
+                f"checkpoint {path} shares no parameter leaves with the "
+                f"template (wrong path, or a different model family?); "
+                f"{len(skipped)} template leaves absent, e.g. "
+                f"{', '.join(skipped[:5])}"
+            )
         if skipped and not allow_missing:
             raise ValueError(
                 f"{len(skipped)} template leaves absent from checkpoint {path}: "
@@ -138,12 +198,15 @@ def restore_params(path: str, state_template, allow_missing: bool = False) -> Tu
             return res
         return {k: (_merge(v, res[k]) if k in res else v) for k, v in tpl.items()}
 
-    meta = restored["meta"]
+    # meta / batch_stats may be partially pruned under allow_missing
+    # (e.g. a params-only export); degrade to defaults instead of KeyError
+    meta = restored.get("meta", {})
+    rstate = restored.get("state", {})
     state = state_template.replace(
-        params=_merge(state_template.params, restored["state"]["params"]),
-        batch_stats=_merge(state_template.batch_stats, restored["state"]["batch_stats"]),
+        params=_merge(state_template.params, rstate.get("params", {})),
+        batch_stats=_merge(state_template.batch_stats, rstate.get("batch_stats", {})),
     )
-    return state, int(meta["epoch"]), float(meta["best_val"])
+    return state, int(meta.get("epoch", 0)), float(meta.get("best_val", 0.0))
 
 
 def latest_path(ckpt_dir: str) -> str:

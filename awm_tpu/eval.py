@@ -36,10 +36,12 @@ def evaluate_model(
     seed: int = 0,
 ) -> Dict[str, float]:
     """Aggregate eval over an iterable of (B, T) clean batches: detection
-    probs for watermarked/clean halves, bit accuracy via per-timestep
-    majority vote, delta RMS (ref: py/main14.py:289-340)."""
+    probs for watermarked/clean halves, bit accuracy under BOTH decode
+    rules (per-timestep majority vote = reference rule, and time-mean
+    logit = the statistic dec_loss_mode='mean' trains), delta RMS
+    (ref: py/main14.py:289-340, decode rule :925-929)."""
     rng = np.random.default_rng(seed)
-    probs_wm, probs_clean, bit_accs, rms_deltas = [], [], [], []
+    probs_wm, probs_clean, bit_accs, bit_accs_ml, rms_deltas = [], [], [], [], []
     for s in batches:
         s = np.asarray(s, dtype=np.float32)
         b = s.shape[0]
@@ -51,11 +53,13 @@ def evaluate_model(
         votes = out["msg_vote_frac"] > 0.5
         target = ((msgs[:, None] & (1 << np.arange(session.message_bits))) > 0)
         bit_accs.extend((votes == target).mean(axis=1))
+        bit_accs_ml.extend(((out["msg_logit_mean"] > 0) == target).mean(axis=1))
         rms_deltas.extend(out["delta_rms"])
     return {
         "watermarked_prob": float(np.mean(probs_wm)),
         "clean_prob": float(np.mean(probs_clean)),
         "bit_accuracy": float(np.mean(bit_accs)),
+        "bit_accuracy_mean_logit": float(np.mean(bit_accs_ml)),
         "delta_rms": float(np.mean(rms_deltas)),
     }
 

@@ -70,6 +70,10 @@ def dec_loss(
     target = message_to_bits(message, bits)  # (B, bits)
     if mode == "mean":
         return bce_with_logits(decode_logits.mean(axis=1), target)
+    if mode != "per_sample":
+        # fail fast: an unrecognized mode silently training the reference's
+        # collapsing per-sample objective would defeat the run's purpose
+        raise ValueError(f"dec_loss mode must be 'per_sample' or 'mean', got {mode!r}")
     target = jnp.broadcast_to(target[:, None, :], decode_logits.shape)
     return bce_with_logits(decode_logits, target)
 

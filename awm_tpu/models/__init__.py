@@ -28,6 +28,15 @@ def build_models(model_cfg, dtype=None):
                      dtype=dtype, decode_head=model_cfg.decode_head),
         )
     if model_cfg.family == "strided":
+        # the decode-collapse variants exist only for the base family; the
+        # strided models would silently ignore them (fail-fast convention)
+        if model_cfg.message_encoding != "table" or model_cfg.decode_head != "shared":
+            raise ValueError(
+                "message_encoding/decode_head variants are not implemented for "
+                f"the strided family (got message_encoding="
+                f"{model_cfg.message_encoding!r}, decode_head="
+                f"{model_cfg.decode_head!r}); use --preset base"
+            )
         return (
             StridedGenerator(
                 message_bits=model_cfg.message_bits,

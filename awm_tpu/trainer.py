@@ -247,8 +247,10 @@ def _fit(
         if ckpt_dir:
             if val_total < best_val:
                 best_val = val_total
-                ck.save_checkpoint(ck.best_path(ckpt_dir), state, epoch=epoch + 1, best_val=best_val)
-            ck.save_checkpoint(ck.latest_path(ckpt_dir), state, epoch=epoch + 1, best_val=best_val)
+                ck.save_checkpoint(ck.best_path(ckpt_dir), state, epoch=epoch + 1,
+                                   best_val=best_val, model_cfg=cfg.model)
+            ck.save_checkpoint(ck.latest_path(ckpt_dir), state, epoch=epoch + 1,
+                               best_val=best_val, model_cfg=cfg.model)
         else:
             best_val = min(best_val, val_total)
 

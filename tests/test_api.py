@@ -139,7 +139,8 @@ def test_evaluate_model_and_classifier(session):
     rng = np.random.default_rng(7)
     batches = [rng.standard_normal((4, CHUNK)).astype(np.float32) * 0.1 for _ in range(2)]
     m = ev.evaluate_model(session, batches)
-    assert set(m) == {"watermarked_prob", "clean_prob", "bit_accuracy", "delta_rms"}
+    assert set(m) == {"watermarked_prob", "clean_prob", "bit_accuracy",
+                      "bit_accuracy_mean_logit", "delta_rms"}
     cm, report = ev.evaluate_classifier(session, batches)
     assert cm.sum() == 16  # 2 batches x (4 wm + 4 clean)
     assert "watermarked" in report

@@ -99,6 +99,53 @@ def test_restore_params_allow_missing_cross_arch(tmp_path):
     assert "embedding" not in restored.params["gen"]
 
 
+def test_arch_sidecar_roundtrip(tmp_path):
+    """Self-describing checkpoints: save_checkpoint(model_cfg=...) records the
+    exact ModelConfig (awm_arch.json sidecar) and read_arch recovers it; a
+    sidecar-less checkpoint reads as None (pre-feature = default arch)."""
+    from awm_tpu.config import ModelConfig
+
+    cfg = _cfg()
+    variant = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, message_encoding="bits", decode_head="dilated")
+    )
+    state, _, _ = tr.init_state(variant, jax.random.key(0))
+    p = str(tmp_path / "ckpt_best")
+    ck.save_checkpoint(p, state, epoch=1, best_val=9.0, model_cfg=variant.model)
+
+    arch = ck.read_arch(p)
+    assert arch is not None
+    known = {f.name for f in dataclasses.fields(ModelConfig)}
+    arch = {k: v for k, v in arch.items() if k in known}
+    arch["strides"] = tuple(arch["strides"])
+    assert ModelConfig(**arch) == variant.model
+
+    # the foreign sidecar file must not break the orbax restore itself
+    template, _, _ = tr.init_state(variant, jax.random.key(9))
+    restored, epoch, _ = ck.restore_params(p, template)
+    assert epoch == 1
+
+    p2 = str(tmp_path / "ckpt_plain")
+    ck.save_checkpoint(p2, state, epoch=1, best_val=9.0)
+    assert ck.read_arch(p2) is None
+
+
+def test_restore_params_zero_overlap_raises(tmp_path):
+    """A checkpoint sharing NO parameter leaves with the template (wrong
+    model family) must raise even under allow_missing=True — 'warm-starting'
+    from nothing would silently train from scratch."""
+    cfg = _cfg()
+    state, _, _ = tr.init_state(cfg, jax.random.key(0))
+    p = str(tmp_path / "ckpt_best")
+    ck.save_checkpoint(p, state, epoch=1, best_val=1.0)
+
+    strided = dataclasses.replace(get_config("strided"), audio_len=640)
+    template, _, _ = tr.init_state(strided, jax.random.key(9))
+    with pytest.raises(ValueError, match="no parameter leaves"):
+        ck.restore_params(p, template, allow_missing=True)
+
+
 def test_maybe_resume(tmp_path):
     cfg = _cfg()
     state, gen, det = tr.init_state(cfg, jax.random.key(0))

@@ -202,6 +202,12 @@ def test_fit_resume(tmp_path):
     ds = SyntheticClips(n=8, audio_len=256)
     mk = lambda: BatchLoader(ds, batch_size=4, seed=0, num_workers=2)
     fit(cfg, mk(), mk(), ckpt_dir=str(tmp_path), verbose=False)
+    # fit records the architecture next to the weights (self-describing
+    # checkpoints: inference auto-configures decode_head/message_encoding)
+    from awm_tpu import checkpoint as ck
+
+    arch = ck.read_arch(str(tmp_path / "ckpt_latest"))
+    assert arch is not None and arch["decode_head"] == cfg.model.decode_head
     # second call resumes at epoch 1 == epochs -> zero additional epochs
     out = fit(cfg, mk(), mk(), ckpt_dir=str(tmp_path), verbose=False)
     assert out["history"] == []

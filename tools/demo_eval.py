@@ -177,8 +177,11 @@ def main():
     ap.add_argument("--message-encoding", choices=("table", "bits"), default=None,
                     help="override the preset's generator message pathway "
                          "(needed to evaluate --message-encoding bits ckpts)")
-    ap.add_argument("--dec-loss", choices=("per_sample", "mean"), default=None)
     ap.add_argument("--decode-head", choices=("shared", "dilated"), default=None)
+    ap.add_argument("--dec-loss", choices=("per_sample", "mean"), default=None,
+                    help="accepted for symmetry with `train` invocations; "
+                         "IGNORED — eval computes no losses and always reports "
+                         "bit accuracy under BOTH decode rules")
     ap.add_argument("--torch-detector", default="/root/reference/models/detector_best.pth")
     ap.add_argument("--platform", default=None, help="force a jax platform (cpu/tpu/axon)")
     args = ap.parse_args()
@@ -196,7 +199,28 @@ def main():
     from awm_tpu.config import get_config
 
     cfg = get_config(args.preset)
-    if args.message_encoding or args.dec_loss or args.decode_head:
+    arch = ck.read_arch(args.ckpt)
+    if arch is not None:
+        # self-describing checkpoint: adopt the recorded architecture (flags
+        # only validate against it — see awm_tpu.checkpoint.write_arch)
+        import dataclasses
+
+        from awm_tpu.config import ModelConfig
+
+        known = {f.name for f in dataclasses.fields(ModelConfig)}
+        arch = {k: v for k, v in arch.items() if k in known}
+        if "strides" in arch:
+            arch["strides"] = tuple(arch["strides"])
+        recorded = ModelConfig(**arch)
+        for flag in ("message_encoding", "decode_head"):
+            given = getattr(args, flag)
+            if given and given != getattr(recorded, flag):
+                raise SystemExit(
+                    f"--{flag} {given} conflicts with the checkpoint's recorded "
+                    f"architecture ({flag}={getattr(recorded, flag)!r})"
+                )
+        cfg = dataclasses.replace(cfg, model=recorded)
+    elif args.message_encoding or args.decode_head:
         import dataclasses
 
         if args.message_encoding:
@@ -206,10 +230,6 @@ def main():
         if args.decode_head:
             cfg = dataclasses.replace(
                 cfg, model=dataclasses.replace(cfg.model, decode_head=args.decode_head)
-            )
-        if args.dec_loss:
-            cfg = dataclasses.replace(
-                cfg, loss=dataclasses.replace(cfg.loss, dec_loss_mode=args.dec_loss)
             )
     state, gen, det = tr.init_state(cfg, jax.random.key(0))
     # params-only restore: works for checkpoints from ANY preset's optimizer
