@@ -157,6 +157,10 @@ def cmd_train(args):
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, early_stop_patience=args.patience)
         )
+    if args.freeze:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, freeze=args.freeze)
+        )
     if args.message_encoding:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, message_encoding=args.message_encoding)
@@ -365,6 +369,12 @@ def main(argv=None):
     p.add_argument("--init-from", help="checkpoint to fine-tune from (main15c flow)")
     p.add_argument("--lr", type=float, help="override the schedule's (peak) learning rate")
     p.add_argument("--patience", type=int, help="early-stopping patience override")
+    p.add_argument("--freeze", choices=("gen", "det"),
+                   help="freeze one network (params + BN stats); e.g. "
+                        "--freeze gen trains only the detector, so embedded "
+                        "watermarks stay bit-identical (decode-head fine-tunes). "
+                        "Use with --init-from, not with an unfrozen run's "
+                        "--ckpt-dir resume (opt_state tree differs)")
     p.add_argument("--select-metric",
                    help="comma-separated val loss terms (e.g. loc,dec) whose sum "
                         "drives best-checkpoint selection + early stopping; "

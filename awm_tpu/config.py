@@ -118,6 +118,13 @@ class TrainConfig:
     # DSP shaping and all loss reductions stay fp32 (awm_tpu.train._forward).
     # Use "float32" for strict reference-parity training dynamics.
     compute_dtype: str = "bfloat16"
+    # Freeze one network during training: "gen" pins the generator's params
+    # AND batch stats (embedded watermarks stay bit-identical — quality and
+    # robustness provably unchanged) while the detector trains; "det" is the
+    # symmetric option.  The decode-head fine-tune mode; None trains both.
+    # Changing freeze changes the opt_state tree: resume via --init-from
+    # (params-only), not in-place --ckpt-dir resume of an unfrozen run.
+    freeze: Optional[str] = None
     data_axis: str = "data"
     model_axis: str = "model"
 

@@ -79,8 +79,24 @@ def make_schedule(cfg: Config, steps_per_epoch: int = 1000):
 
 
 def make_optimizer(cfg: Config, steps_per_epoch: int = 1000) -> optax.GradientTransformation:
-    """Single Adam over gen+det params (ref: py/main14.py:402)."""
-    return optax.adam(make_schedule(cfg, steps_per_epoch))
+    """Single Adam over gen+det params (ref: py/main14.py:402).
+
+    cfg.train.freeze = "gen"|"det" zeroes that network's updates
+    (optax.multi_transform with set_to_zero), so only the other net trains;
+    train_step additionally pins the frozen net's batch stats."""
+    tx = optax.adam(make_schedule(cfg, steps_per_epoch))
+    frozen = cfg.train.freeze
+    if frozen is None:
+        return tx
+    if frozen not in ("gen", "det"):
+        raise ValueError(f"TrainConfig.freeze must be 'gen', 'det' or None, got {frozen!r}")
+    labels = lambda params: {
+        k: jax.tree.map(lambda _: "frozen" if k == frozen else "train", v)
+        for k, v in params.items()
+    }
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, labels
+    )
 
 
 def init_state(
@@ -189,6 +205,11 @@ def train_step(
     )
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
+    if cfg.train.freeze is not None:
+        # frozen net: BN statistics must not drift either — a frozen
+        # generator must embed bit-identical watermarks throughout
+        new_bs = dict(new_bs)
+        new_bs[cfg.train.freeze] = state.batch_stats[cfg.train.freeze]
     new_state = TrainState(
         step=state.step + 1,
         params=new_params,

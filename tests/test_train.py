@@ -44,6 +44,32 @@ def test_train_step_runs_and_updates(batch):
     assert max(jax.tree.leaves(diff)) > 0
 
 
+def test_train_step_freeze(batch):
+    """freeze='gen' pins the generator's params AND batch stats exactly
+    (embedded watermarks bit-identical) while the detector still trains;
+    symmetric for 'det'."""
+    import dataclasses
+
+    for frozen, trained in (("gen", "det"), ("det", "gen")):
+        cfg = _tiny_cfg()
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, freeze=frozen)
+        )
+        rng = jax.random.key(0)
+        state, gen, det = tr.init_state(cfg, rng)
+        tx = tr.make_optimizer(cfg)
+        new_state, _ = tr.train_step(cfg, gen, det, tx, state, batch, rng)
+        for a, b in zip(jax.tree.leaves(state.params[frozen]),
+                        jax.tree.leaves(new_state.params[frozen])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.batch_stats[frozen]),
+                        jax.tree.leaves(new_state.batch_stats[frozen])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                            state.params[trained], new_state.params[trained])
+        assert max(jax.tree.leaves(diff)) > 0, f"{trained} did not train"
+
+
 def test_overfit_two_batches_detector_learns(batch):
     """After a few hundred steps on 4 fixed clips, the detector must separate
     watermarked from clean and the decoder must beat chance decisively."""
