@@ -412,7 +412,9 @@ def evaluate_robustness(
     Extends the reference (which only evaluates the main15c lowpass+quantize
     channel implicitly through fine-tuning) with an explicit table over the
     on-device attack ops in awm_tpu.augment.  Returns
-    {attack: {wm_prob, clean_prob, detect_rate}} per attack.
+    {attack: {wm_prob, clean_prob, detect_rate, ..., bit_accuracy}} per
+    attack — bit_accuracy is the message survival under the channel, decoded
+    with the time-mean-logit rule (ref decode: py/main14.py:925-929).
     """
     import jax
     import jax.numpy as jnp
@@ -441,12 +443,13 @@ def evaluate_robustness(
     msgs = rng.integers(0, 2**session.message_bits, size=n).astype(np.int32)
     deltas = session.embed_chunks(clips, msgs)
     wm = clips + deltas
+    target_bits = (msgs[:, None] & (1 << np.arange(session.message_bits))) > 0
 
     results = {}
     for name, fn in attacks.items():
         atk_wm = np.asarray(fn(jnp.asarray(wm)))
         atk_clean = np.asarray(fn(jnp.asarray(clips)))
-        _, _, _, p_wm = session.detect_summary(atk_wm)
+        _, mlm_wm, _, p_wm = session.detect_summary(atk_wm)
         _, _, _, p_clean = session.detect_summary(atk_clean)
         # per-attack AUC: threshold-free separability.  An attack can push
         # probabilities below the global 0.5 threshold (detect_rate 0) while
@@ -474,5 +477,6 @@ def evaluate_robustness(
             "calibrated_threshold": cal["threshold"],
             "detect_rate_calibrated": float((p_wm[1::2] > cal["threshold"]).mean()),
             "fpr_calibrated": float((p_clean[1::2] > cal["threshold"]).mean()),
+            "bit_accuracy": float(((np.asarray(mlm_wm) > 0) == target_bits).mean()),
         }
     return results

@@ -230,6 +230,8 @@ def test_evaluate_robustness(trained_session):
         assert 0.0 <= row["calibrated_threshold"] <= 1.0, name
         assert 0.0 <= row["detect_rate_calibrated"] <= 1.0, name
         assert 0.0 <= row["fpr_calibrated"] <= 1.0, name
+        # message survival under the channel (mean-logit decode rule)
+        assert 0.0 <= row["bit_accuracy"] <= 1.0, name
     assert table["none"]["auc"] > 0.9
     # held-out calibrated operating point on the unattacked channel must
     # separate a trained session well
