@@ -231,6 +231,34 @@ def test_fit_finetune_init_from(tmp_path):
     assert len(out["history"]) == 1
 
 
+def test_fit_freeze_init_from(tmp_path):
+    """fit() with TrainConfig.freeze='gen' + init_from keeps the generator's
+    params bit-identical across a whole epoch (the decode-head fine-tune
+    contract: embedded watermarks provably unchanged) while the detector
+    trains."""
+    cfg = dataclasses.replace(
+        _cfg(256), train=dataclasses.replace(_cfg(256).train, epochs=1)
+    )
+    ds = SyntheticClips(n=8, audio_len=256)
+    mk = lambda: BatchLoader(ds, batch_size=4, seed=0, num_workers=2)
+    pre = fit(cfg, mk(), mk(), ckpt_dir=str(tmp_path / "pre"), verbose=False)
+
+    frz_cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, freeze="gen")
+    )
+    out = fit(
+        frz_cfg, mk(), mk(),
+        init_from=str(tmp_path / "pre" / "ckpt_best"),
+        verbose=False,
+    )
+    for a, b in zip(jax.tree.leaves(pre["state"].params["gen"]),
+                    jax.tree.leaves(out["state"].params["gen"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        pre["state"].params["det"], out["state"].params["det"])
+    assert max(jax.tree.leaves(diff)) > 0, "detector did not train under freeze='gen'"
+
+
 class _RecordingLoader:
     """Re-iterable batch list that records the index of every yielded batch."""
 
