@@ -196,9 +196,11 @@ def cmd_train(args):
         # noise floor 15 dB: evaluating AT the curriculum's minimum SNR
         # (20 dB) failed when trained with min=20 — train past the eval edge
         lo, hi = (float(x) for x in args.noise_snr.split(","))
+        cuts = tuple(float(x) for x in args.lowpass_hz.split(","))
         cfg = dataclasses.replace(cfg, augment=AugmentConfig(
             noise_snr_db=(lo, hi), volume_range=(0.3, 1.2),
-            lowpass_hz=7000.0, quantize=True, resample_hz=8000,
+            lowpass_hz=cuts if len(cuts) > 1 else cuts[0],
+            quantize=True, resample_hz=8000,
             attack_prob=args.attack_prob,
             val_attacks=not args.clean_val,
         ))
@@ -390,6 +392,12 @@ def main(argv=None):
                    help="noise-attack SNR range 'min,max' dB for --augment "
                         "(train past the eval edge: a curriculum whose MINIMUM "
                         "equals the eval SNR leaves that SNR undetected)")
+    p.add_argument("--lowpass-hz", default="7000",
+                   help="lowpass-attack cutoff(s) in Hz for --augment; a "
+                        "comma list becomes a per-example curriculum (e.g. "
+                        "'3500,5000,7000' keeps the watermark carrier below "
+                        "the harshest cutoff so out-of-band lowpass attacks "
+                        "cannot strip it)")
     p.add_argument("--message-encoding", choices=("table", "bits"),
                    help="message pathway: 'table' = reference Embedding(2^16) "
                         "lookup; 'bits' = bit-compositional encoder (fixes "

@@ -32,7 +32,15 @@ class AugmentConfig:
 
     noise_snr_db: Optional[Tuple[float, float]] = None  # e.g. (20., 40.)
     volume_range: Optional[Tuple[float, float]] = None  # e.g. (0.3, 1.2)
-    lowpass_hz: Optional[float] = None  # e.g. 7000.0
+    # One cutoff, or a tuple of cutoffs sampled per example (a lowpass
+    # CURRICULUM, e.g. (3500., 5000., 7000.)).  A single aggressive-enough
+    # dec-weighted fine-tune drives the watermark carrier into high
+    # frequencies where decode is easy but a 4 kHz lowpass inverts detection
+    # (measured: AUC 0.25 under lowpass_4k); training across a cutoff range
+    # forces bit energy below the harshest cutoff.  Discrete choices rather
+    # than a continuous range because the biquad's associative-scan
+    # coefficients are compile-time scalars.
+    lowpass_hz: Optional[Tuple[float, ...]] = None  # float also accepted
     quantize: bool = False
     resample_hz: Optional[int] = None  # e.g. 8000 (down-up round trip)
     attack_prob: float = 1.0  # per-example, per-attack application probability
@@ -104,8 +112,20 @@ def apply_augment(x: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.nda
         key, k1 = jax.random.split(key)
         x = maybe(k1, resample_roundtrip(x, cfg.resample_hz, cfg.sample_rate), x)
     if cfg.lowpass_hz is not None:
-        key, k1 = jax.random.split(key)
-        x = maybe(k1, lowpass_biquad(x, cfg.sample_rate, cfg.lowpass_hz), x)
+        key, k1, k2 = jax.random.split(key, 3)
+        cuts = (
+            tuple(cfg.lowpass_hz)
+            if isinstance(cfg.lowpass_hz, (tuple, list))
+            else (cfg.lowpass_hz,)
+        )
+        if len(cuts) == 1:
+            att = lowpass_biquad(x, cfg.sample_rate, cuts[0])
+        else:  # per-example curriculum over the discrete cutoff choices
+            choice = jax.random.randint(k2, (x.shape[0], 1), 0, len(cuts))
+            att = jnp.zeros_like(x)
+            for i, c in enumerate(cuts):
+                att = jnp.where(choice == i, lowpass_biquad(x, cfg.sample_rate, c), att)
+        x = maybe(k1, att, x)
     if cfg.quantize:
         key, k1 = jax.random.split(key)
         x = maybe(k1, quantize_int16(x), x)

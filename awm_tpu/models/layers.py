@@ -207,12 +207,16 @@ class LSTM(nn.Module):
         w_hh = self.param("w_hh", uinit, (4 * self.hidden, self.hidden))
         b = self.param("b", binit, (4 * self.hidden,))
         # B<8 pads the batch below the TPU sublane tile; measured 1.4e-4
-        # forward drift vs scan at B=1 (benign but avoidable) — 'auto'
-        # routes tiny batches to the scan path, which is also faster there.
+        # forward drift vs scan at B=1 (benign but avoidable).  B>=8 but not
+        # a multiple of 8 fails Mosaic outright (the kernel's (TC,B,4H)
+        # reshape cannot retile a sublane-misaligned batch — hit by e.g. a
+        # 51-row validation remainder).  'auto' therefore routes any
+        # non-sublane-aligned batch to the scan path.
         use_pallas = self.impl == "pallas" or (
             self.impl == "auto"
             and jax.default_backend() == "tpu"
             and x.shape[0] >= 8
+            and x.shape[0] % 8 == 0
         )
         if use_pallas:
             from awm_tpu.ops.pallas.lstm_kernel import lstm_fused_auto

@@ -104,6 +104,31 @@ def test_resample_roundtrip_lowpasses():
     assert np.sqrt((lo_out**2).mean()) > 0.8 * np.sqrt((np.asarray(lo) ** 2).mean())
 
 
+def test_lowpass_curriculum_selects_per_example():
+    """A tuple lowpass_hz draws a cutoff per example: with attack_prob=1 and
+    choices (c,), every row equals lowpass_biquad(x, c); with two distinct
+    choices each row matches exactly one of the two filters, and both
+    appear across a large-enough batch."""
+    from awm_tpu.dsp import lowpass_biquad
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray((rng.standard_normal((16, 512)) * 0.2).astype(np.float32))
+    key = jax.random.key(5)
+
+    one = apply_augment(x, key, AugmentConfig(lowpass_hz=(3500.0,), attack_prob=1.0))
+    np.testing.assert_allclose(one, lowpass_biquad(x, 16000, 3500.0), rtol=0, atol=1e-6)
+
+    cur = np.asarray(
+        apply_augment(x, key, AugmentConfig(lowpass_hz=(3500.0, 7000.0), attack_prob=1.0))
+    )
+    a = np.asarray(lowpass_biquad(x, 16000, 3500.0))
+    b = np.asarray(lowpass_biquad(x, 16000, 7000.0))
+    is_a = np.isclose(cur, a, atol=1e-6).all(axis=-1)
+    is_b = np.isclose(cur, b, atol=1e-6).all(axis=-1)
+    assert (is_a | is_b).all()
+    assert is_a.any() and is_b.any()
+
+
 def test_augmented_train_step_runs():
     cfg = _cfg(augment=AugmentConfig(noise_snr_db=(25.0, 35.0), volume_range=(0.5, 1.0), quantize=True))
     from awm_tpu import train as tr
