@@ -200,6 +200,7 @@ def cmd_train(args):
         cfg = dataclasses.replace(cfg, augment=AugmentConfig(
             noise_snr_db=(lo, hi), volume_range=(0.3, 1.2),
             lowpass_hz=cuts if len(cuts) > 1 else cuts[0],
+            lowpass_filter="fir" if args.lowpass_fir else "biquad",
             quantize=True, resample_hz=8000,
             attack_prob=args.attack_prob,
             val_attacks=not args.clean_val,
@@ -392,6 +393,12 @@ def main(argv=None):
                    help="noise-attack SNR range 'min,max' dB for --augment "
                         "(train past the eval edge: a curriculum whose MINIMUM "
                         "equals the eval SNR leaves that SNR undetected)")
+    p.add_argument("--lowpass-fir", action="store_true",
+                   help="use the steep 101-tap FIR for the --augment lowpass "
+                        "attack instead of the biquad (the biquad's soft "
+                        "rolloff leaks out-of-band carrier energy; the FIR "
+                        "forces the watermark fully below the cutoff, which "
+                        "resample-channel survival requires)")
     p.add_argument("--lowpass-hz", default="7000",
                    help="lowpass-attack cutoff(s) in Hz for --augment; a "
                         "comma list becomes a per-example curriculum (e.g. "

@@ -41,6 +41,13 @@ class AugmentConfig:
     # than a continuous range because the biquad's associative-scan
     # coefficients are compile-time scalars.
     lowpass_hz: Optional[Tuple[float, ...]] = None  # float also accepted
+    # Filter family for the lowpass attack: the biquad's soft -12 dB/oct
+    # rolloff leaks enough >cutoff carrier that a curriculum of biquad
+    # cutoffs never forces the watermark fully in-band (measured: lowpass@4k
+    # detection passes while resample@8k — whose 65-tap FIR anti-alias
+    # truly erases out-of-band energy — stays at chance).  "fir" uses the
+    # steep 101-tap windowed-sinc instead, closing that leak.
+    lowpass_filter: str = "biquad"  # "biquad" | "fir"
     quantize: bool = False
     resample_hz: Optional[int] = None  # e.g. 8000 (down-up round trip)
     attack_prob: float = 1.0  # per-example, per-attack application probability
@@ -118,13 +125,17 @@ def apply_augment(x: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.nda
             if isinstance(cfg.lowpass_hz, (tuple, list))
             else (cfg.lowpass_hz,)
         )
+        if cfg.lowpass_filter == "fir":
+            lpf = lambda x, c: fir_lowpass(x, c, taps=101, sample_rate=cfg.sample_rate)
+        else:
+            lpf = lambda x, c: lowpass_biquad(x, cfg.sample_rate, c)
         if len(cuts) == 1:
-            att = lowpass_biquad(x, cfg.sample_rate, cuts[0])
+            att = lpf(x, cuts[0])
         else:  # per-example curriculum over the discrete cutoff choices
             choice = jax.random.randint(k2, (x.shape[0], 1), 0, len(cuts))
             att = jnp.zeros_like(x)
             for i, c in enumerate(cuts):
-                att = jnp.where(choice == i, lowpass_biquad(x, cfg.sample_rate, c), att)
+                att = jnp.where(choice == i, lpf(x, c), att)
         x = maybe(k1, att, x)
     if cfg.quantize:
         key, k1 = jax.random.split(key)

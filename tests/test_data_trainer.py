@@ -129,6 +129,26 @@ def test_lowpass_curriculum_selects_per_example():
     assert is_a.any() and is_b.any()
 
 
+def test_lowpass_fir_is_steeper_than_biquad():
+    """lowpass_filter='fir' must actually close the biquad's rolloff leak:
+    a 5 kHz tone through a 3.5 kHz cutoff keeps well over 10% of its RMS
+    under the biquad but almost nothing under the 101-tap FIR."""
+    t = np.arange(2048) / 16000.0
+    tone = jnp.asarray(np.sin(2 * np.pi * 5000 * t).astype(np.float32))[None]
+    rms = lambda a: float(jnp.sqrt(jnp.mean(jnp.square(a))))
+    bi = apply_augment(
+        tone, jax.random.key(0),
+        AugmentConfig(lowpass_hz=(3500.0,), attack_prob=1.0),
+    )
+    fir = apply_augment(
+        tone, jax.random.key(0),
+        AugmentConfig(lowpass_hz=(3500.0,), lowpass_filter="fir", attack_prob=1.0),
+    )
+    assert rms(bi) > 0.1 * rms(tone)  # the leak the curriculum was missing
+    assert rms(fir) < 0.02 * rms(tone)
+    assert rms(fir) < 0.1 * rms(bi)
+
+
 def test_augmented_train_step_runs():
     cfg = _cfg(augment=AugmentConfig(noise_snr_db=(25.0, 35.0), volume_range=(0.5, 1.0), quantize=True))
     from awm_tpu import train as tr
