@@ -41,6 +41,10 @@ def _cfg_for(args):
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, decode_head=args.decode_head)
         )
+    if getattr(args, "delta_band_hz", None) is not None:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, delta_band_hz=args.delta_band_hz)
+        )
     return cfg
 
 
@@ -68,9 +72,9 @@ def _load_session(args):
             if "strides" in arch:
                 arch["strides"] = tuple(arch["strides"])
             recorded = ModelConfig(**arch)
-            for flag in ("message_encoding", "decode_head"):
+            for flag in ("message_encoding", "decode_head", "delta_band_hz"):
                 given = getattr(args, flag, None)
-                if given and given != getattr(recorded, flag):
+                if given is not None and given != getattr(recorded, flag):
                     sys.exit(
                         f"--{flag.replace('_', '-')}={given} conflicts with the "
                         f"checkpoint's recorded architecture "
@@ -340,6 +344,9 @@ def _add_session_args(p):
     p.add_argument("--decode-head", choices=("shared", "dilated"),
                    help="detector bit head the checkpoint was trained with "
                         "(train --decode-head)")
+    p.add_argument("--delta-band-hz", type=float,
+                   help="carrier band-limit the checkpoint was trained with "
+                        "(train --delta-band-hz)")
 
 
 def main(argv=None):
@@ -413,6 +420,11 @@ def main(argv=None):
                    help="detector bit-channel head: 'shared' = reference 1x1 "
                         "conv (15-sample RF); 'dilated' = dilated-conv stack "
                         "(~147 ms RF) for learnable message decode")
+    p.add_argument("--delta-band-hz", type=float,
+                   help="band-limit the watermark carrier by construction "
+                        "(fixed zero-phase FIR as the generator's last op); "
+                        "e.g. 3000 keeps the carrier inside the resample@8k "
+                        "passband so the down-up trip cannot strip it")
     p.add_argument("--dec-loss", choices=("per_sample", "mean"),
                    help="decode objective: 'per_sample' = reference BCE over "
                         "every timestep; 'mean' = BCE on the time-mean logit "

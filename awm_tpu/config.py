@@ -43,6 +43,15 @@ class ModelConfig:
     # (15-sample RF); "dilated" = dilated-conv decode head (~147 ms RF) —
     # see models/detector.py.  Detection is unaffected either way.
     decode_head: str = "shared"
+    # Band-limit the watermark carrier BY CONSTRUCTION: a fixed zero-phase
+    # 101-tap sinc FIR applied to delta as the generator's final op, so the
+    # constraint holds identically in training and inference and is recorded
+    # in the checkpoint's arch sidecar.  Motivation (DEMO.md capstone): a
+    # resample@8k round trip erases any carrier above its ~3.6 kHz anti-alias
+    # edge, and attack-exposure curricula alone could not force a decodable
+    # carrier below it (capR4 probe collapsed).  delta_band_hz=3000 keeps the
+    # carrier inside the resample passband so the attack is near-transparent.
+    delta_band_hz: Optional[float] = None
     # strided family (ref: py/main14b_2.py:43-48)
     base_channels: int = 32
     hidden_dim: int = 32

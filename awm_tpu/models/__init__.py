@@ -23,6 +23,7 @@ def build_models(model_cfg, dtype=None):
                 lstm_impl=model_cfg.lstm_impl,
                 dtype=dtype,
                 message_encoding=model_cfg.message_encoding,
+                delta_band_hz=model_cfg.delta_band_hz,
             ),
             Detector(message_bits=model_cfg.message_bits, channels=model_cfg.channels,
                      dtype=dtype, decode_head=model_cfg.decode_head),
@@ -30,12 +31,17 @@ def build_models(model_cfg, dtype=None):
     if model_cfg.family == "strided":
         # the decode-collapse variants exist only for the base family; the
         # strided models would silently ignore them (fail-fast convention)
-        if model_cfg.message_encoding != "table" or model_cfg.decode_head != "shared":
+        if (
+            model_cfg.message_encoding != "table"
+            or model_cfg.decode_head != "shared"
+            or model_cfg.delta_band_hz is not None
+        ):
             raise ValueError(
-                "message_encoding/decode_head variants are not implemented for "
-                f"the strided family (got message_encoding="
+                "message_encoding/decode_head/delta_band_hz variants are not "
+                f"implemented for the strided family (got message_encoding="
                 f"{model_cfg.message_encoding!r}, decode_head="
-                f"{model_cfg.decode_head!r}); use --preset base"
+                f"{model_cfg.decode_head!r}, delta_band_hz="
+                f"{model_cfg.delta_band_hz!r}); use --preset base"
             )
         return (
             StridedGenerator(

@@ -41,6 +41,11 @@ class Generator(nn.Module):
     # sampled ~B/65536 times per step, so no bit-structured code can form;
     # the 16 shared bit directions get gradient from EVERY example.
     message_encoding: str = "table"  # "table" | "bits"
+    # Band-limit the carrier by construction: fixed zero-phase sinc FIR on
+    # delta as the final op (no params — part of the architecture, so the
+    # constraint is identical at train and inference and survives in the
+    # arch sidecar).  See ModelConfig.delta_band_hz for the rationale.
+    delta_band_hz: Optional[float] = None
 
     @nn.compact
     def __call__(self, s: jnp.ndarray, message: jnp.ndarray | None = None, *, train: bool = False):
@@ -75,4 +80,9 @@ class Generator(nn.Module):
         x = ConvTranspose1d(self.channels, 7, padding=3, dtype=self.dtype, name="dec_deconv")(x)
         x = ResBlock(self.channels, dtype=self.dtype, name="dec_res")(x, train=train)
         delta = Conv1d(1, 1, dtype=self.dtype, name="dec_out")(x)
-        return delta[..., 0]  # (B, T)
+        delta = delta[..., 0]  # (B, T)
+        if self.delta_band_hz is not None:
+            from awm_tpu.dsp import fir_lowpass
+
+            delta = fir_lowpass(delta, self.delta_band_hz, taps=101)
+        return delta

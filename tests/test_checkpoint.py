@@ -108,7 +108,8 @@ def test_arch_sidecar_roundtrip(tmp_path):
     cfg = _cfg()
     variant = dataclasses.replace(
         cfg, model=dataclasses.replace(
-            cfg.model, message_encoding="bits", decode_head="dilated")
+            cfg.model, message_encoding="bits", decode_head="dilated",
+            delta_band_hz=3000.0)
     )
     state, _, _ = tr.init_state(variant, jax.random.key(0))
     p = str(tmp_path / "ckpt_best")

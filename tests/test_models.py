@@ -93,6 +93,34 @@ def test_detector_dilated_decode_head():
     np.testing.assert_array_equal(np.asarray(out[..., 0]), np.asarray(out_s[..., 0]))
 
 
+def test_generator_delta_band_limit():
+    """delta_band_hz band-limits the carrier by construction: out-of-band
+    energy is negligible and the carrier survives the resample@8k round trip
+    (the attack the constraint exists to defeat — DEMO.md capstone)."""
+    gen = Generator(message_bits=16, delta_band_hz=3000.0)
+    key = jax.random.key(0)
+    s = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 16000)) * 0.1,
+        dtype=jnp.float32,
+    )
+    msg = jnp.array([5, 70], dtype=jnp.int32)
+    gvars = gen.init(key, s, msg)
+    delta = np.asarray(gen.apply(gvars, s, msg))
+
+    spec = np.abs(np.fft.rfft(delta, axis=-1)) ** 2
+    freqs = np.fft.rfftfreq(16000, 1 / 16000)
+    oob = spec[:, freqs > 3600.0].sum() / spec.sum()
+    assert oob < 1e-4, f"out-of-band energy fraction {oob}"
+
+    from awm_tpu.augment import resample_roundtrip
+
+    d_att = np.asarray(resample_roundtrip(jnp.asarray(delta), 8000))
+    corr = (delta * d_att).sum() / np.sqrt(
+        (delta**2).sum() * (d_att**2).sum()
+    )
+    assert corr > 0.95, f"carrier correlation through resample@8k {corr}"
+
+
 def test_generator_without_message(gen_det):
     gen, _, gvars, _ = gen_det
     s = jnp.zeros((1, T))
