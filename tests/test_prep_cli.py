@@ -163,6 +163,51 @@ def test_load_session_dtype_defaults(monkeypatch):
     assert s.compute_dtype == jnp.bfloat16
 
 
+def test_load_session_sidecar_autoconfig_and_conflict(tmp_path):
+    """Self-describing checkpoints at the CLI: _load_session adopts the
+    recorded architecture (no flags needed), accepts matching flags, and
+    fails fast on conflicting ones — for every recorded variant axis
+    including delta_band_hz."""
+    import argparse
+    import dataclasses as dc
+
+    import jax
+    import pytest
+
+    from awm_tpu import __main__ as cli
+    from awm_tpu import checkpoint as ck
+    from awm_tpu import train as tr
+    from awm_tpu.config import get_config
+
+    cfg = dc.replace(get_config("base"), audio_len=512)
+    variant = dc.replace(cfg, model=dc.replace(
+        cfg.model, message_encoding="bits", decode_head="dilated",
+        delta_band_hz=3000.0))
+    state, _, _ = tr.init_state(variant, jax.random.key(0))
+    p = str(tmp_path / "ckpt_best")
+    ck.save_checkpoint(p, state, epoch=1, best_val=9.0, model_cfg=variant.model)
+
+    base = dict(preset="base", audio_len=512, ckpt=p,
+                torch_generator=None, torch_detector=None, compute_dtype=None,
+                message_encoding=None, decode_head=None, delta_band_hz=None)
+    s = cli._load_session(argparse.Namespace(**base))
+    # auto-configured from the sidecar, no flags given
+    assert s.gen.message_encoding == "bits"
+    assert s.gen.delta_band_hz == 3000.0
+    assert s.det.decode_head == "dilated"
+
+    # matching explicit flags validate and pass
+    s = cli._load_session(argparse.Namespace(
+        **{**base, "delta_band_hz": 3000.0, "decode_head": "dilated"}))
+    assert s.gen.delta_band_hz == 3000.0
+
+    # conflicting flags fail fast instead of silently mis-building the model
+    with pytest.raises(SystemExit, match="delta-band-hz"):
+        cli._load_session(argparse.Namespace(**{**base, "delta_band_hz": 2000.0}))
+    with pytest.raises(SystemExit, match="decode-head"):
+        cli._load_session(argparse.Namespace(**{**base, "decode_head": "shared"}))
+
+
 # -- full noise.py feature set (ref: dataset_creation/noise.py:10-90) --------
 
 
