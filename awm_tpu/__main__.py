@@ -140,6 +140,16 @@ def cmd_detect(args):
     print(json.dumps(out, indent=2))
 
 
+def cmd_verify(args):
+    from awm_tpu.api import verify_watermark
+
+    sess = _load_session(args)
+    r = verify_watermark(
+        args.input, sess, args.message, args.threshold, alpha=args.alpha
+    )
+    print(json.dumps(r, indent=2))
+
+
 def cmd_train(args):
     from awm_tpu.data import BatchLoader, OneSecClips, SyntheticClips, split_indices
     from awm_tpu.trainer import fit
@@ -367,6 +377,22 @@ def main(argv=None):
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--visualize", action="store_true", help="save temporal-probability plot")
     p.set_defaults(fn=cmd_detect)
+
+    p = sub.add_parser(
+        "verify",
+        help="authenticate a file against an expected message "
+             "(detection + exact binomial test on the decoded bits)",
+    )
+    _add_session_args(p)
+    p.add_argument("input")
+    p.add_argument("--message", type=int, required=True,
+                   help="the 16-bit message the file is expected to carry "
+                        "(embed --message N)")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--alpha", type=float, default=0.01,
+                   help="significance level for the bit-agreement test "
+                        "(AUTHENTIC needs detection AND p_value <= alpha)")
+    p.set_defaults(fn=cmd_verify)
 
     p = sub.add_parser("train", help="train generator+detector")
     p.add_argument("--preset", default="base")

@@ -7,6 +7,9 @@ surface with zero extra dependencies (stdlib ThreadingHTTPServer):
     POST /embed?message=N&seed=K   body: WAV bytes -> watermarked WAV bytes
                                    (metrics in X-Awm-* response headers)
     POST /detect?threshold=T       body: WAV bytes -> JSON detection result
+    POST /verify?message=N         body: WAV bytes -> JSON authentication
+                                   (detection + exact binomial test of the
+                                   decoded bits against the expected message)
     GET  /healthz                  -> JSON status
 
 Audio decoding/encoding is host-side; the model runs through the session's
@@ -29,7 +32,7 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-from awm_tpu.api import InferenceSession, detect_array, watermark_array
+from awm_tpu.api import InferenceSession, detect_array, verify_array, watermark_array
 from awm_tpu.utils.audio_io import save_wav, to_mono, resample
 
 
@@ -134,6 +137,19 @@ def make_handler(session: InferenceSession):
                     "predicted_message": r["predicted_message"],
                     "message_confidence": r["message_confidence"],
                 })
+            elif url.path == "/verify":
+                try:
+                    message = int(q["message"][0])
+                    if not 0 <= message < 2**session.message_bits:
+                        return self._json(400, {"error": "message out of range"})
+                    thr = float(q["threshold"][0]) if "threshold" in q else 0.5
+                    alpha = float(q["alpha"][0]) if "alpha" in q else 0.01
+                except (KeyError, ValueError) as e:
+                    return self._json(
+                        400,
+                        {"error": f"need ?message=N (+ optional threshold/alpha): {e}"},
+                    )
+                self._json(200, verify_array(wav, session, message, thr, alpha))
             else:
                 self._json(404, {"error": "unknown endpoint"})
 
@@ -152,7 +168,8 @@ def serve(
 
     batched = BatchedSession(session, max_batch=max_batch, max_wait_ms=max_wait_ms)
     httpd = ThreadingHTTPServer((host, port), make_handler(batched))
-    print(f"awm_tpu serving on http://{host}:{port} (POST /embed, /detect; GET /healthz)")
+    print(f"awm_tpu serving on http://{host}:{port} "
+          "(POST /embed, /detect, /verify; GET /healthz)")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -102,6 +102,60 @@ def test_file_roundtrip_trained(tmp_path, trained_session):
     assert det_wm["mean_probability"] > det_clean["mean_probability"] + 0.15
 
 
+def test_binom_sf_goldens():
+    """Exact binomial tail vs scipy (the verify p-value null)."""
+    from scipy.stats import binom
+
+    for n in (16, 32):
+        for k in (0, 1, n // 2, n - 1, n):
+            np.testing.assert_allclose(
+                api._binom_sf(k, n), binom.sf(k - 1, n, 0.5), rtol=1e-12
+            )
+    assert api._binom_sf(0, 16) == 1.0
+    assert api._binom_sf(16, 16) == 2.0**-16
+
+
+def test_verify_array_contract(session):
+    """verify_array is self-consistent regardless of model skill: verifying
+    against the decoded message gives full agreement / the smallest p-value;
+    against its bitwise complement gives zero agreement / p=1.  AUTHENTIC
+    requires BOTH detection and significance."""
+    wav = np.random.default_rng(2).standard_normal(2000).astype(np.float32) * 0.1
+    det = api.detect_array(wav, session)
+    decoded = int(
+        (np.asarray(det["predicted_message"]).astype(np.int64) << np.arange(16)).sum()
+    )
+    r = api.verify_array(wav, session, decoded)
+    assert r["bit_agreement"] == 16 and r["p_value"] == 2.0**-16
+    assert r["decoded_message"] == decoded and r["match_margin"] > 0
+    assert r["is_authentic"] == (r["is_watermarked"] and r["p_value"] <= r["alpha"])
+
+    r2 = api.verify_array(wav, session, decoded ^ 0xFFFF)
+    assert r2["bit_agreement"] == 0 and r2["p_value"] == 1.0
+    assert not r2["is_authentic"] and r2["match_margin"] < 0
+
+
+def test_verify_watermark_trained(tmp_path, trained_session):
+    """End-to-end authentication: a file embedded with message M verifies as
+    more significant against M than against a different message."""
+    sess, batch = trained_session
+    clip = np.concatenate([batch[i % 4] for i in range(3)])
+    p = str(tmp_path / "c.wav")
+    save_wav(p, clip, 16000)
+    out = str(tmp_path / "w.wav")
+    api.generate_watermarked_audio(p, sess, out, message=0xBEEF)
+    r_right = api.verify_watermark(out, sess, 0xBEEF)
+    r_wrong = api.verify_watermark(out, sess, 0xBEEF ^ 0xFFFF)
+    # complement-message identities (hold regardless of model skill; the
+    # skill claims live in the trained-run evidence, DEMO.md)
+    assert r_right["bit_agreement"] + r_wrong["bit_agreement"] == 16
+    np.testing.assert_allclose(
+        r_right["match_margin"], -r_wrong["match_margin"], rtol=1e-6
+    )
+    assert r_right["decoded_message"] == r_wrong["decoded_message"]
+    assert 0.0 < r_right["p_value"] <= 1.0
+
+
 def test_run_inference_on_file(tmp_path, session):
     wav = np.random.default_rng(3).standard_normal(1700).astype(np.float32) * 0.1
     p = str(tmp_path / "x.wav")

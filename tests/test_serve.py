@@ -83,6 +83,31 @@ def test_embed_then_detect(server, rng):
     assert len(out["predicted_message"]) == 16
 
 
+def test_verify_endpoint(server, rng):
+    host, port = server
+    wav = (0.2 * rng.standard_normal(2000)).astype(np.float32)
+    data = _wav_bytes(wav)
+    c = http.client.HTTPConnection(host, port, timeout=120)
+
+    # missing ?message= is a 400, not a traceback
+    c.request("POST", "/verify", body=data,
+              headers={"Content-Length": str(len(data))})
+    assert c.getresponse().status == 400
+
+    c.request("POST", "/detect", body=data,
+              headers={"Content-Length": str(len(data))})
+    det = json.loads(c.getresponse().read())
+    decoded = sum(b << i for i, b in enumerate(det["predicted_message"]))
+
+    c.request("POST", f"/verify?message={decoded}", body=data,
+              headers={"Content-Length": str(len(data))})
+    r = c.getresponse()
+    assert r.status == 200
+    out = json.loads(r.read())
+    assert out["bit_agreement"] == 16 and out["p_value"] == 2.0**-16
+    assert out["decision"] in ("AUTHENTIC", "NOT AUTHENTIC")
+
+
 def test_error_paths(server):
     host, port = server
     c = http.client.HTTPConnection(host, port, timeout=30)
