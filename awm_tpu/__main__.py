@@ -125,18 +125,25 @@ def cmd_embed(args):
 
     sess = _load_session(args)
     res = generate_watermarked_audio(
-        args.input, sess, args.output, message=args.message, seed=args.seed
+        args.input, sess, args.output, message=args.message, seed=args.seed,
+        ecc=args.ecc,
     )
-    print(json.dumps({"output": args.output, **res["metrics"]}, indent=2))
+    out = {"output": args.output, **res["metrics"]}
+    if "payloads" in res:
+        out["payloads"] = [int(p) for p in res["payloads"]]
+    print(json.dumps(out, indent=2))
 
 
 def cmd_detect(args):
     from awm_tpu.api import detect_watermark
 
     sess = _load_session(args)
-    r = detect_watermark(args.input, sess, args.threshold, visualize=args.visualize)
+    r = detect_watermark(args.input, sess, args.threshold,
+                         visualize=args.visualize, ecc=args.ecc)
     out = {k: r[k] for k in ("mean_probability", "is_watermarked", "decision")}
     out["predicted_message"] = r.get("predicted_message")
+    if "ecc" in r:
+        out["ecc"] = r["ecc"]
     print(json.dumps(out, indent=2))
 
 
@@ -145,7 +152,8 @@ def cmd_verify(args):
 
     sess = _load_session(args)
     r = verify_watermark(
-        args.input, sess, args.message, args.threshold, alpha=args.alpha
+        args.input, sess, args.message, args.threshold, alpha=args.alpha,
+        ecc=args.ecc,
     )
     print(json.dumps(r, indent=2))
 
@@ -369,6 +377,10 @@ def main(argv=None):
     p.add_argument("output")
     p.add_argument("--message", type=int, help="fixed 16-bit message (default: random per chunk)")
     p.add_argument("--seed", type=int)
+    p.add_argument("--ecc", action="store_true",
+                   help="treat --message as an 11-bit payload and embed its "
+                        "SECDED codeword (awm_tpu.ecc): blind decode then "
+                        "survives any single flipped bit per chunk")
     p.set_defaults(fn=cmd_embed)
 
     p = sub.add_parser("detect", help="detect a watermark in an audio file")
@@ -376,6 +388,9 @@ def main(argv=None):
     p.add_argument("input")
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--visualize", action="store_true", help="save temporal-probability plot")
+    p.add_argument("--ecc", action="store_true",
+                   help="decode the 16 bits as a SECDED codeword: corrects "
+                        "one flipped bit, flags uncorrectable double errors")
     p.set_defaults(fn=cmd_detect)
 
     p = sub.add_parser(
@@ -392,6 +407,9 @@ def main(argv=None):
     p.add_argument("--alpha", type=float, default=0.01,
                    help="significance level for the bit-agreement test "
                         "(AUTHENTIC needs detection AND p_value <= alpha)")
+    p.add_argument("--ecc", action="store_true",
+                   help="--message is an 11-bit payload; verify against its "
+                        "SECDED codeword (embed --ecc)")
     p.set_defaults(fn=cmd_verify)
 
     p = sub.add_parser("train", help="train generator+detector")

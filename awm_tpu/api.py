@@ -228,33 +228,62 @@ def watermark_array(
     waveform: np.ndarray,
     session: InferenceSession,
     *,
-    message: Optional[int] = None,
+    message=None,
     seed: Optional[int] = None,
+    ecc: bool = False,
 ) -> Dict:
     """Embed into a raw (T,) 16 kHz waveform.  Fresh random message per chunk
-    (ref: py/main14.py:743) unless a fixed message is given."""
+    (ref: py/main14.py:743) unless a fixed message (int) or an explicit
+    per-chunk message array is given.
+
+    ecc=True interprets the message(s) as 11-bit payloads and embeds their
+    SECDED codewords (awm_tpu.ecc) — blind decode then survives any
+    single-bit error per chunk.  The result dict gains "payloads"."""
     chunks, total = _to_chunks(waveform, session.chunk_len)
     n = chunks.shape[0]
     rng = np.random.default_rng(seed)
+    payloads = None
+    if ecc:
+        from awm_tpu.ecc import PAYLOAD_BITS, ecc_encode
+
+        if message is None:
+            payloads = rng.integers(0, 2**PAYLOAD_BITS, size=n, dtype=np.int64)
+        elif np.ndim(message) > 0:
+            payloads = np.asarray(message, dtype=np.int64)
+        else:
+            payloads = np.full(n, int(message), dtype=np.int64)
+        message = np.asarray([ecc_encode(int(p)) for p in payloads], np.int64)
     if message is None:
         messages = rng.integers(0, 2**session.message_bits, size=n, dtype=np.int64)
+    elif np.ndim(message) > 0:
+        messages = np.asarray(message, dtype=np.int64)
+        if messages.shape != (n,):
+            raise ValueError(
+                f"per-chunk messages must have shape ({n},) for this waveform, "
+                f"got {messages.shape}"
+            )
     else:
         messages = np.full(n, int(message), dtype=np.int64)
     deltas = session.embed_chunks(chunks, messages.astype(np.int32))
     delta = deltas.reshape(-1)[:total]
     watermarked = waveform[:total] + delta
-    return {
+    out = {
         "watermarked_waveform": watermarked,
         "delta_waveform": delta,
         "original_waveform": waveform[:total],
         "messages": messages,
     }
+    if payloads is not None:
+        out["payloads"] = payloads
+    return out
 
 
 def detect_array(
     waveform: np.ndarray,
     session: InferenceSession,
     detection_threshold: float = 0.5,
+    *,
+    ecc: bool = False,
 ) -> Dict:
     """Detect on a raw (T,) waveform.  Matches detect_watermark's reductions:
     per-sample sigmoid probs over valid samples only, chunk-level time-mean
@@ -274,7 +303,7 @@ def detect_array(
     msg_logits_mean = msg_logit_mean.mean(axis=0)
 
     is_wm = mean_prob > detection_threshold
-    return {
+    out = {
         "mean_probability": mean_prob,
         "is_watermarked": bool(is_wm),
         "temporal_probs": temporal_probs,
@@ -282,6 +311,16 @@ def detect_array(
         "predicted_message": (msg_logits_mean > 0).astype(int).tolist(),
         "message_confidence": (1.0 / (1.0 + np.exp(-msg_logits_mean))).tolist(),
     }
+    if ecc:
+        from awm_tpu.ecc import ecc_decode
+
+        payload, corrected, ok = ecc_decode(out["predicted_message"])
+        out["ecc"] = {
+            "payload": payload,
+            "corrected_bits": corrected,
+            "ok": bool(ok),
+        }
+    return out
 
 
 def _binom_sf(k: int, n: int) -> float:
@@ -300,6 +339,8 @@ def verify_array(
     expected_message: int,
     detection_threshold: float = 0.5,
     alpha: float = 0.01,
+    *,
+    ecc: bool = False,
 ) -> Dict:
     """Authenticate a raw (T,) waveform against an EXPECTED message.
 
@@ -317,6 +358,12 @@ def verify_array(
     detect_array (per-chunk time-mean bit logits); nothing new crosses the
     host boundary.
     """
+    payload = None
+    if ecc:
+        from awm_tpu.ecc import ecc_encode
+
+        payload = int(expected_message)
+        expected_message = ecc_encode(payload)
     det = detect_array(waveform, session, detection_threshold)
     bits = session.message_bits
     expected = (int(expected_message) >> np.arange(bits)) & 1  # LSB first
@@ -329,7 +376,9 @@ def verify_array(
     logits = np.log(conf / (1.0 - conf + 1e-12) + 1e-12)
     margin = float((logits * np.where(expected == 1, 1.0, -1.0)).mean())
     authentic = bool(det["is_watermarked"] and p_value <= alpha)
+    out_extra = {} if payload is None else {"expected_payload": payload}
     return {
+        **out_extra,
         "mean_probability": det["mean_probability"],
         "is_watermarked": det["is_watermarked"],
         "expected_message": int(expected_message),
@@ -350,12 +399,14 @@ def verify_watermark(
     expected_message: int,
     detection_threshold: float = 0.5,
     alpha: float = 0.01,
+    *,
+    ecc: bool = False,
 ) -> Dict:
     """File-level authenticate-against-expected-message API (see
     verify_array)."""
     waveform = load_mono_16k(input_file, session.sample_rate)
     return verify_array(
-        waveform, session, expected_message, detection_threshold, alpha
+        waveform, session, expected_message, detection_threshold, alpha, ecc=ecc
     )
 
 
@@ -376,11 +427,12 @@ def generate_watermarked_audio(
     *,
     message: Optional[int] = None,
     seed: Optional[int] = None,
+    ecc: bool = False,
 ) -> Dict:
     """File-level embed API, reference-compatible result dict
     (ref: py/main14.py:719-808)."""
     waveform = load_mono_16k(input_file, session.sample_rate)
-    res = watermark_array(waveform, session, message=message, seed=seed)
+    res = watermark_array(waveform, session, message=message, seed=seed, ecc=ecc)
     delta = res["delta_waveform"]
     wm = res["watermarked_waveform"]
 
@@ -396,6 +448,7 @@ def generate_watermarked_audio(
         "delta_waveform": delta,
         "original_waveform": waveform,
         "messages": res["messages"],
+        **({"payloads": res["payloads"]} if "payloads" in res else {}),
         "metrics": {
             "watermark_rms": watermark_rms,
             "si_snr_db": si_snr_db,
@@ -409,11 +462,13 @@ def detect_watermark(
     session: InferenceSession,
     detection_threshold: float = 0.5,
     visualize: bool = False,
+    *,
+    ecc: bool = False,
 ) -> Dict:
     """File-level detect API (ref: py/main14.py:856-949).  visualize=True
     writes the reference's temporal-probability plot next to the input."""
     waveform = load_mono_16k(input_file, session.sample_rate)
-    result = detect_array(waveform, session, detection_threshold)
+    result = detect_array(waveform, session, detection_threshold, ecc=ecc)
     if visualize:
         _plot_detection(input_file, result, detection_threshold, session.sample_rate)
     return result

@@ -127,20 +127,24 @@ def make_handler(session: InferenceSession):
             elif url.path == "/detect":
                 try:
                     thr = float(q["threshold"][0]) if "threshold" in q else 0.5
+                    ecc = q.get("ecc", ["0"])[0] in ("1", "true")
                 except ValueError as e:
                     return self._json(400, {"error": f"bad query parameter: {e}"})
-                r = detect_array(wav, session, thr)
+                r = detect_array(wav, session, thr, ecc=ecc)
                 self._json(200, {
                     "mean_probability": r["mean_probability"],
                     "is_watermarked": r["is_watermarked"],
                     "decision": r["decision"],
                     "predicted_message": r["predicted_message"],
                     "message_confidence": r["message_confidence"],
+                    **({"ecc": r["ecc"]} if "ecc" in r else {}),
                 })
             elif url.path == "/verify":
                 try:
                     message = int(q["message"][0])
-                    if not 0 <= message < 2**session.message_bits:
+                    ecc = q.get("ecc", ["0"])[0] in ("1", "true")
+                    limit = 2**11 if ecc else 2**session.message_bits
+                    if not 0 <= message < limit:
                         return self._json(400, {"error": "message out of range"})
                     thr = float(q["threshold"][0]) if "threshold" in q else 0.5
                     alpha = float(q["alpha"][0]) if "alpha" in q else 0.01
@@ -149,7 +153,7 @@ def make_handler(session: InferenceSession):
                         400,
                         {"error": f"need ?message=N (+ optional threshold/alpha): {e}"},
                     )
-                self._json(200, verify_array(wav, session, message, thr, alpha))
+                self._json(200, verify_array(wav, session, message, thr, alpha, ecc=ecc))
             else:
                 self._json(404, {"error": "unknown endpoint"})
 
