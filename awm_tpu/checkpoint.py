@@ -85,12 +85,25 @@ def save_checkpoint(path: str, state, *, epoch: int = 0,
         write_arch(path, model_cfg)
 
 
+def _host_template(tree):
+    """jax.Array template leaves -> numpy so orbax restores to HOST memory.
+
+    A checkpoint records the mesh/device layout it was SAVED with; restoring
+    onto concrete jax arrays makes orbax reconstruct that layout, which fails
+    on a different platform (a TPU-trained checkpoint opened with
+    `--platform cpu` raised "sharding ... Got None").  Numpy leaves restore
+    platform-independently; the first jitted call device_puts them."""
+    return jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree
+    )
+
+
 def restore_checkpoint(path: str, state_template) -> Tuple[Any, int, float]:
     """Restore (state, epoch, best_val); state_template supplies the tree
     structure/shapes (build it with train.init_state)."""
     ckptr, path = _ckpt(path)
     template = {
-        "state": state_template,
+        "state": _host_template(state_template),
         "meta": {
             "epoch": np.asarray(0, np.int32),
             "best_val": np.asarray(0.0, np.float64),
@@ -121,10 +134,10 @@ def restore_params(path: str, state_template, allow_missing: bool = False) -> Tu
 
     _, path = _ckpt(path)
     template = {
-        "state": {
+        "state": _host_template({
             "params": state_template.params,
             "batch_stats": state_template.batch_stats,
-        },
+        }),
         "meta": {
             "epoch": np.asarray(0, np.int32),
             "best_val": np.asarray(0.0, np.float64),
@@ -185,9 +198,18 @@ def restore_params(path: str, state_template, allow_missing: bool = False) -> Tu
                 f"(pass allow_missing=True to warm-start them from init)"
             )
         # partial_restore: the on-disk tree has extra keys (state.opt_state,
-        # state.step) that the params-only template deliberately omits
+        # state.step) that the params-only template deliberately omits.
+        # restore_type=np.ndarray per leaf: without it orbax restores each
+        # array onto the device layout recorded at SAVE time, which fails
+        # cross-platform (see _host_template)
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), template
+        )
         restored = ckptr.restore(
-            path, args=ocp.args.PyTreeRestore(item=template, partial_restore=True)
+            path,
+            args=ocp.args.PyTreeRestore(
+                item=template, restore_args=restore_args, partial_restore=True
+            ),
         )
     if skipped:
         print(f"restore_params: kept init for {len(skipped)} leaves absent "

@@ -64,6 +64,30 @@ def test_restore_params_across_presets(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
 
 
+def test_restore_is_platform_independent(tmp_path):
+    """Restores must not depend on the device layout recorded at save time:
+    orbax's default re-creates the saved sharding, which crashes when a
+    TPU-trained checkpoint is opened with --platform cpu ("sharding ...
+    Got None").  The fix restores every leaf to HOST memory
+    (checkpoint._host_template + restore_type=np.ndarray); this pins that
+    mechanism — the cross-platform path itself was driven on a real
+    TPU-saved checkpoint (runs/bl1) restored under jax_platforms=cpu."""
+    cfg = _cfg()
+    state, gen, det = tr.init_state(cfg, jax.random.key(0))
+    p = str(tmp_path / "ckpt_best")
+    ck.save_checkpoint(p, state, epoch=1, best_val=0.5)
+
+    template, _, _ = tr.init_state(cfg, jax.random.key(9))
+    for restore in (ck.restore_checkpoint, ck.restore_params):
+        restored = restore(p, template)[0]
+        for leaf in jax.tree.leaves(restored.params):
+            assert isinstance(leaf, np.ndarray), (
+                f"{restore.__name__} returned a device-committed "
+                f"{type(leaf).__name__}; cross-platform restore requires "
+                f"host arrays"
+            )
+
+
 def test_restore_params_allow_missing_cross_arch(tmp_path):
     """Warm-start a message_encoding='bits' model from a 'table' checkpoint:
     shared conv/LSTM/detector weights restore, the new bit_proj keeps its
