@@ -107,14 +107,16 @@ def make_handler(session: InferenceSession):
             if url.path == "/embed":
                 try:
                     message: Optional[int] = None
+                    ecc = q.get("ecc", ["0"])[0] in ("1", "true")
+                    limit = 2**11 if ecc else 2**session.message_bits
                     if "message" in q:
                         message = int(q["message"][0])
-                        if not 0 <= message < 2**session.message_bits:
+                        if not 0 <= message < limit:
                             return self._json(400, {"error": "message out of range"})
                     seed = int(q["seed"][0]) if "seed" in q else None
                 except ValueError as e:
                     return self._json(400, {"error": f"bad query parameter: {e}"})
-                res = watermark_array(wav, session, message=message, seed=seed)
+                res = watermark_array(wav, session, message=message, seed=seed, ecc=ecc)
                 out = _encode_wav_bytes(res["watermarked_waveform"], session.sample_rate)
                 delta = res["delta_waveform"]
                 self.send_response(200)
@@ -122,6 +124,8 @@ def make_handler(session: InferenceSession):
                 self.send_header("Content-Length", str(len(out)))
                 self.send_header("X-Awm-Watermark-Rms", f"{float(np.sqrt((delta**2).mean())):.6g}")
                 self.send_header("X-Awm-Messages", ",".join(map(str, res["messages"])))
+                if "payloads" in res:
+                    self.send_header("X-Awm-Payloads", ",".join(map(str, res["payloads"])))
                 self.end_headers()
                 self.wfile.write(out)
             elif url.path == "/detect":

@@ -108,6 +108,47 @@ def test_verify_endpoint(server, rng):
     assert out["decision"] in ("AUTHENTIC", "NOT AUTHENTIC")
 
 
+def test_ecc_endpoints(server, rng):
+    """?ecc=1 on /embed encodes the 11-bit payload as a SECDED codeword
+    (X-Awm-Payloads header), /detect returns the decoded payload block,
+    /verify range-checks against the payload space."""
+    from awm_tpu.ecc import ecc_encode
+
+    host, port = server
+    wav = (0.2 * rng.standard_normal(2000)).astype(np.float32)
+    data = _wav_bytes(wav)
+    c = http.client.HTTPConnection(host, port, timeout=120)
+
+    c.request("POST", "/embed?message=1234&ecc=1", body=data,
+              headers={"Content-Length": str(len(data))})
+    r = c.getresponse()
+    assert r.status == 200
+    assert r.getheader("X-Awm-Payloads").split(",") == ["1234"] * 3
+    assert r.getheader("X-Awm-Messages").split(",") == [str(ecc_encode(1234))] * 3
+    wm_bytes = r.read()
+
+    c.request("POST", "/detect?ecc=1", body=wm_bytes,
+              headers={"Content-Length": str(len(wm_bytes))})
+    out = json.loads(c.getresponse().read())
+    assert set(out["ecc"]) == {"payload", "corrected_bits", "ok"}
+
+    # 2048 <= payload is out of ECC range even though it's a valid 16-bit msg
+    c.request("POST", "/embed?message=4000&ecc=1", body=data,
+              headers={"Content-Length": str(len(data))})
+    assert c.getresponse().status == 400
+    c.request("POST", "/verify?message=4000&ecc=1", body=data,
+              headers={"Content-Length": str(len(data))})
+    assert c.getresponse().status == 400
+
+    c.request("POST", "/verify?message=1234&ecc=1", body=wm_bytes,
+              headers={"Content-Length": str(len(wm_bytes))})
+    r = c.getresponse()
+    assert r.status == 200
+    out = json.loads(r.read())
+    assert out["expected_payload"] == 1234
+    assert out["expected_message"] == ecc_encode(1234)
+
+
 def test_error_paths(server):
     host, port = server
     c = http.client.HTTPConnection(host, port, timeout=30)
