@@ -405,6 +405,7 @@ def evaluate_robustness(
     *,
     seed: int = 0,
     attacks: Optional[Dict[str, callable]] = None,
+    ecc: bool = False,
 ) -> Dict[str, Dict[str, float]]:
     """Attack-matrix robustness sweep: watermark the clips, apply each
     channel attack to the watermarked audio, and measure detection.
@@ -415,6 +416,13 @@ def evaluate_robustness(
     {attack: {wm_prob, clean_prob, detect_rate, ..., bit_accuracy}} per
     attack — bit_accuracy is the message survival under the channel, decoded
     with the time-mean-logit rule (ref decode: py/main14.py:925-929).
+
+    ecc=True embeds SECDED codewords of random 11-bit payloads
+    (awm_tpu.ecc) instead of raw 16-bit messages and additionally reports
+    message-EXACT rates per attack: exact_rate_raw (all 16 decoded bits
+    right) vs exact_rate_ecc (payload recovered after single-error
+    correction) and ecc_flagged_rate (decodes refused as uncorrectable —
+    these are visible failures, never silent wrong payloads).
     """
     import jax
     import jax.numpy as jnp
@@ -440,7 +448,14 @@ def evaluate_robustness(
     clips = np.asarray(clips, dtype=np.float32)
     n = clips.shape[0]
     rng = np.random.default_rng(seed)
-    msgs = rng.integers(0, 2**session.message_bits, size=n).astype(np.int32)
+    payloads = None
+    if ecc:
+        from awm_tpu.ecc import PAYLOAD_BITS, ecc_encode
+
+        payloads = rng.integers(0, 2**PAYLOAD_BITS, size=n)
+        msgs = np.asarray([ecc_encode(int(p)) for p in payloads], np.int32)
+    else:
+        msgs = rng.integers(0, 2**session.message_bits, size=n).astype(np.int32)
     deltas = session.embed_chunks(clips, msgs)
     wm = clips + deltas
     target_bits = (msgs[:, None] & (1 << np.arange(session.message_bits))) > 0
@@ -479,4 +494,16 @@ def evaluate_robustness(
             "fpr_calibrated": float((p_clean[1::2] > cal["threshold"]).mean()),
             "bit_accuracy": float(((np.asarray(mlm_wm) > 0) == target_bits).mean()),
         }
+        if ecc:
+            from awm_tpu.ecc import ecc_decode_batch
+
+            bits = (np.asarray(mlm_wm) > 0).astype(np.int64)  # (n, 16) LSB-first
+            dec_payloads, _, ok = ecc_decode_batch(bits)
+            results[name]["exact_rate_raw"] = float(
+                (bits == target_bits).all(axis=1).mean()
+            )
+            results[name]["exact_rate_ecc"] = float(
+                ((dec_payloads == payloads) & ok).mean()
+            )
+            results[name]["ecc_flagged_rate"] = float((~ok).mean())
     return results

@@ -293,6 +293,24 @@ def test_evaluate_robustness(trained_session):
     assert table["none"]["fpr_calibrated"] < 0.1
 
 
+def test_evaluate_robustness_ecc(trained_session):
+    """ecc=True embeds SECDED codewords and reports message-exact rates:
+    correcting one flipped bit can only help, so exact_rate_ecc >=
+    exact_rate_raw on every channel, and flagged decodes are the visible
+    complement of trusted ones."""
+    sess, batch = trained_session
+    table = ev.evaluate_robustness(
+        sess, batch, seed=0, ecc=True,
+        attacks={"none": lambda x: x, "volume_0.5": lambda x: x * 0.5},
+    )
+    for name, row in table.items():
+        assert 0.0 <= row["exact_rate_raw"] <= 1.0, name
+        assert row["exact_rate_ecc"] >= row["exact_rate_raw"], name
+        assert 0.0 <= row["ecc_flagged_rate"] <= 1.0, name
+        # a trusted (ok=True) decode and a flagged one are disjoint events
+        assert row["exact_rate_ecc"] + row["ecc_flagged_rate"] <= 1.0 + 1e-9, name
+
+
 def test_optimal_threshold():
     labels = [1, 1, 1, 0, 0, 0]
     probs = [0.40, 0.45, 0.48, 0.10, 0.15, 0.20]  # separable, all below 0.5

@@ -104,6 +104,17 @@ def section_robust(sess, clips, n: int = 128):
     }
 
 
+def section_ecc(sess, clips, n: int = 128):
+    """Message-EXACT decode rates per attack, raw 16-bit vs SECDED-coded
+    11-bit payloads (awm_tpu.ecc): the framework's answer to 'can I trust
+    the decoded message', which per-bit accuracy alone understates."""
+    from awm_tpu.eval import evaluate_robustness
+
+    table = evaluate_robustness(sess, clips[:n], seed=0, ecc=True)
+    keep = ("exact_rate_raw", "exact_rate_ecc", "ecc_flagged_rate", "bit_accuracy")
+    return {k: {m: round(float(row[m]), 4) for m in keep} for k, row in table.items()}
+
+
 def section_music(sess, cfg, n: int, batch: int):
     """Out-of-domain music generalization: embed+detect on music-like clips
     with the speech-trained model (the reference's GTZAN/FMA/Songs sweeps,
@@ -173,7 +184,7 @@ def main():
     ap.add_argument("--synthetic-n", type=int, default=24576)
     ap.add_argument("--n-eval", type=int, default=1024)
     ap.add_argument("--batch-size", type=int, default=256)
-    ap.add_argument("--sections", default="quality,robust,music,cross")
+    ap.add_argument("--sections", default="quality,robust,ecc,music,cross")
     ap.add_argument("--message-encoding", choices=("table", "bits"), default=None,
                     help="override the preset's generator message pathway "
                          "(needed to evaluate --message-encoding bits ckpts)")
@@ -243,6 +254,8 @@ def main():
         report["quality"] = section_quality(sess, clips, cfg, args.batch_size)
     if "robust" in wanted:
         report["robust"] = section_robust(sess, clips)
+    if "ecc" in wanted:
+        report["ecc"] = section_ecc(sess, clips)
     if "music" in wanted:
         report["music"] = section_music(sess, cfg, min(args.n_eval, 512), args.batch_size)
     if "cross" in wanted and os.path.exists(args.torch_detector):
