@@ -155,8 +155,19 @@ def section_cross(sess, clips, cfg, torch_detector: str, batch: int):
     import jax.numpy as jnp
 
     dvars = ck.import_torch_detector(torch_detector)
+    # The shipped torch detector is always the base family (shared 1x1 head,
+    # ref: py/main14.py:132-148) — build its module from that arch, NOT from
+    # the evaluated checkpoint's (whose dilated head has extra param leaves).
+    from awm_tpu.models.detector import Detector
+
+    ref_det = Detector(
+        message_bits=cfg.message_bits,
+        channels=cfg.model.channels,
+        dtype=None,
+        decode_head="shared",
+    )
     ref_sess = InferenceSession(
-        sess.gen, sess.det, sess.gen_vars, dvars,
+        sess.gen, ref_det, sess.gen_vars, dvars,
         message_bits=cfg.message_bits, sample_rate=cfg.sample_rate,
         chunk_len=cfg.audio_len, compute_dtype=jnp.float32,
     )
