@@ -149,6 +149,14 @@ def restore_params(path: str, state_template, allow_missing: bool = False) -> Tu
         # from the checkpoint, which would let a wholly mismatched restore
         # "succeed" with freshly-initialized weights
         on_disk = ckptr.metadata(path).item_metadata
+        if on_disk is None:
+            # orbax returns a metadata object with item_metadata=None for a
+            # path that exists but holds no checkpoint (and raises for a
+            # missing path only deep inside restore) — fail fast either way
+            raise FileNotFoundError(
+                f"no orbax checkpoint at {path!r}"
+                + ("" if os.path.isdir(path) else " (path does not exist)")
+            )
         skipped = []
 
         def _prune(tpl, meta, prefix):

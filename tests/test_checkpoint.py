@@ -171,6 +171,19 @@ def test_restore_params_zero_overlap_raises(tmp_path):
         ck.restore_params(p, template, allow_missing=True)
 
 
+def test_restore_params_missing_path_fails_fast(tmp_path):
+    """A nonexistent or empty checkpoint path must raise FileNotFoundError
+    with the path in the message, not a TypeError from orbax metadata."""
+    cfg = _cfg()
+    template, _, _ = tr.init_state(cfg, jax.random.key(0))
+    with pytest.raises(FileNotFoundError, match="no orbax checkpoint"):
+        ck.restore_params(str(tmp_path / "does_not_exist"), template)
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="no orbax checkpoint"):
+        ck.restore_params(str(empty), template)
+
+
 def test_maybe_resume(tmp_path):
     cfg = _cfg()
     state, gen, det = tr.init_state(cfg, jax.random.key(0))
