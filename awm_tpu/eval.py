@@ -29,6 +29,14 @@ from awm_tpu.utils.audio_io import load_mono_16k
 AUDIO_EXTS = (".wav", ".mp3", ".flac", ".ogg")  # ref: py/main14.py:1055-1058
 
 
+def _nanmean_or_nan(values) -> float:
+    """np.nanmean without the all-NaN RuntimeWarning (metric absent on
+    every file, e.g. stoi=False sweeps)."""
+    a = np.asarray(values, dtype=np.float64)
+    mask = ~np.isnan(a)
+    return float(a[mask].mean()) if mask.any() else float("nan")
+
+
 def evaluate_model(
     session: InferenceSession,
     batches: Iterable[np.ndarray],
@@ -231,8 +239,8 @@ def evaluate_corpus(
         "avg_prob_watermarked": float(np.mean([r["prob_watermarked"] for r in results])),
         "avg_si_snr_db": float(np.mean([r["si_snr_db"] for r in results])),
         "avg_delta_rms": float(np.mean([r["delta_rms"] for r in results])),
-        "avg_stoi": float(np.nanmean([r.get("stoi", float("nan")) for r in results])),
-        "avg_nsim": float(np.nanmean([r.get("nsim", float("nan")) for r in results])),
+        "avg_stoi": _nanmean_or_nan([r.get("stoi", float("nan")) for r in results]),
+        "avg_nsim": _nanmean_or_nan([r.get("nsim", float("nan")) for r in results]),
         "accuracy": float(np.mean(np.asarray(preds) == np.asarray(labels))),
         "auc": float(auc_val),
         "kfold_acc": kfold_cv(labels, preds),
