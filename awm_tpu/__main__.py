@@ -195,6 +195,13 @@ def cmd_train(args):
         cfg = dataclasses.replace(
             cfg, loss=dataclasses.replace(cfg.loss, dec_loss_mode=args.dec_loss)
         )
+    if args.dec_bit_balance is not None:
+        if (args.dec_loss or cfg.loss.dec_loss_mode) != "mean":
+            sys.exit("--dec-bit-balance requires --dec-loss mean "
+                     "(per-bit weights are defined on the time-mean statistic)")
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss, dec_bit_balance=args.dec_bit_balance)
+        )
     if args.loss_weights:
         # term names match --select-metric / the val CSV columns
         field_of = {"l1": "lambda_l1", "mel": "lambda_msspec", "loud": "lambda_loud",
@@ -477,6 +484,12 @@ def main(argv=None):
                    help="override loss-term weights, e.g. 'dec=5,l1=0.2' "
                         "(terms: l1, mel, loud, loc, dec, hf — the preset's "
                         "reference values otherwise, ref: py/main14.py:34-38)")
+    p.add_argument("--dec-bit-balance", type=float, default=None,
+                   help="γ>0 re-weights each bit's dec BCE by (its batch BCE "
+                        "/ mean)^γ — concentrates decode pressure on unlearned "
+                        "bit positions (band-limited runs collapse to ~5 live "
+                        "channels otherwise; see losses.dec_loss).  Requires "
+                        "--dec-loss mean")
     p.add_argument("--clean-val", action="store_true",
                    help="validate on CLEAN batches even with --augment.  By "
                         "default validation applies the same attack curriculum "

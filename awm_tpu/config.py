@@ -74,6 +74,10 @@ class LossConfig:
     # runs.  "mean" = BCE on the time-mean logit, the statistic the decode
     # rule actually thresholds (losses.dec_loss).
     dec_loss_mode: str = "per_sample"
+    # >0 re-weights each bit position's dec BCE by (its batch BCE / mean)^γ
+    # (dec_loss_mode="mean" only): counteracts the winner-take-all carrier
+    # collapse measured on band-limited runs (losses.dec_loss docstring).
+    dec_bit_balance: float = 0.0
     hf_penalty_w: float = 0.0  # main16 only (ref: py/main16.py:43)
     hf_cutoff_hz: float = 3500.0
     hf_n_fft: int = 512

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,13 +32,17 @@ from awm_tpu.dsp import log_mel, spectrogram, stft
 from awm_tpu.models.messages import message_to_bits
 
 
-def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
-    """Mean binary cross-entropy with logits, numerically stable (identical
-    math to F.binary_cross_entropy_with_logits)."""
+def bce_with_logits_per(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Element-wise binary cross-entropy with logits, numerically stable
+    (identical math to F.binary_cross_entropy_with_logits, no reduction)."""
     z = logits.astype(jnp.float32)
     y = targets.astype(jnp.float32)
-    per = jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
-    return per.mean()
+    return jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean binary cross-entropy with logits."""
+    return bce_with_logits_per(logits, targets).mean()
 
 
 def loc_loss(detection_logits: jnp.ndarray) -> jnp.ndarray:
@@ -56,6 +61,7 @@ def dec_loss(
     message: jnp.ndarray,
     bits: int = 16,
     mode: str = "per_sample",
+    bit_balance: float = 0.0,
 ) -> jnp.ndarray:
     """Bit-decode BCE on the watermarked half.  decode_logits: (B, T, bits).
 
@@ -66,10 +72,27 @@ def dec_loss(
     bit accuracy, BASELINE.md).  mode="mean" trains the statistic inference
     actually thresholds — the TIME-MEAN logit (ref decode rule:
     py/main14.py:925-929) — letting 16,000 weak per-window cues accumulate
-    into one decodable bit."""
+    into one decodable bit.
+
+    bit_balance > 0 (mode="mean" only) re-weights each bit position's BCE by
+    (its batch-mean BCE / the mean over positions)^bit_balance, weights
+    stop-gradiented and normalized to mean 1.  Motivation: band-limited runs
+    collapse to a winner-take-all subspace — measured on runs/blR2 (evidence/
+    blDiag): 5 of 16 bit positions decode at ~1.0 with |time-mean logit|
+    7.5–18.9 while the other 11 sit at exact chance with |logit| ≤ 0.25, so
+    the flat mean leaves ~0.69·11/16 of dec BCE permanently on the table.
+    Balancing concentrates the dec budget on unlearned positions (a dead bit
+    among 15 learned ones sees ~bits× its flat-mean pressure) and self-
+    anneals back to the flat mean as positions equalize."""
     target = message_to_bits(message, bits)  # (B, bits)
     if mode == "mean":
-        return bce_with_logits(decode_logits.mean(axis=1), target)
+        per = bce_with_logits_per(decode_logits.mean(axis=1), target)  # (B, bits)
+        if bit_balance > 0.0:
+            per_bit = per.mean(axis=0)  # (bits,)
+            w = (per_bit / (per_bit.mean() + 1e-8)) ** bit_balance
+            w = jax.lax.stop_gradient(w / (w.mean() + 1e-8))
+            return (per * w).mean()
+        return per.mean()
     if mode != "per_sample":
         # fail fast: an unrecognized mode silently training the reference's
         # collapsing per-sample objective would defeat the run's purpose
@@ -133,7 +156,8 @@ def total_loss(
     decode_logits = logits[:b, :, 1:]
     terms = {
         "loc": loc_loss(detection_logits),
-        "dec": dec_loss(decode_logits, message, message_bits, mode=cfg.dec_loss_mode),
+        "dec": dec_loss(decode_logits, message, message_bits,
+                        mode=cfg.dec_loss_mode, bit_balance=cfg.dec_bit_balance),
         "l1": l1_delta_loss(delta),
         "mel": mel_l1_loss(s, s_w, scales=cfg.mel_scales),
         "loud": tf_loudness_loss(s, s_w),

@@ -63,6 +63,35 @@ def test_dec_loss_mean_mode():
     )
 
 
+def test_dec_loss_bit_balance():
+    """bit_balance re-weights positions by relative error: γ=0 is the flat
+    mean; γ>0 up-weights an unlearned bit and the weighted loss exceeds the
+    flat mean when errors are concentrated (weights normalized to mean 1)."""
+    rng = np.random.default_rng(0)
+    msgs = jnp.asarray(rng.integers(0, 2**16, size=64), jnp.int32)
+    target = ((np.asarray(msgs)[:, None] & (1 << np.arange(16))) > 0).astype(np.float32)
+    # bits 0..14 decoded confidently, bit 15 dead (logit 0)
+    logits = (target * 2 - 1) * 12.0
+    logits[:, 15] = 0.0
+    logits = jnp.broadcast_to(jnp.asarray(logits[:, None, :], jnp.float32), (64, 4, 16))
+
+    flat = float(losses.dec_loss(logits, msgs, mode="mean"))
+    bal0 = float(losses.dec_loss(logits, msgs, mode="mean", bit_balance=0.0))
+    bal1 = float(losses.dec_loss(logits, msgs, mode="mean", bit_balance=1.0))
+    np.testing.assert_allclose(bal0, flat, rtol=1e-6)
+    # flat mean: ln2/16 from the dead bit; balanced: its weight -> ~16,
+    # so the loss approaches the dead bit's full ln2
+    assert bal1 > 10 * flat
+    assert bal1 < np.log(2) * 1.05
+    # uniform errors: balancing is a no-op
+    uni = jnp.zeros((64, 4, 16), jnp.float32)
+    np.testing.assert_allclose(
+        float(losses.dec_loss(uni, msgs, mode="mean", bit_balance=1.0)),
+        float(losses.dec_loss(uni, msgs, mode="mean")),
+        rtol=1e-5,
+    )
+
+
 def test_mel_l1_matches_torch_mel(speechlike, rng):
     """End-to-end check of the mel loss vs a from-scratch torch replica of
     torchaudio's MelSpectrogram (center pad, HTK fbanks, power 2)."""
