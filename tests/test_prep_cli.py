@@ -316,6 +316,24 @@ def test_cli_train_loss_weights(tmp_path):
     assert "loss-weights" in r.stderr
 
 
+def test_cli_train_dec_bit_balance(tmp_path):
+    """--dec-bit-balance trains end-to-end with --dec-loss mean and fails
+    fast without it (the per-bit weights are defined on the time-mean
+    statistic, losses.dec_loss)."""
+    r = _run_cli(
+        "--platform", "cpu", "train", "--synthetic-n", "16", "--batch-size", "4",
+        "--epochs", "1", "--audio-len", "512", "--message-encoding", "bits",
+        "--dec-loss", "mean", "--dec-bit-balance", "1.0",
+        "--ckpt-dir", str(tmp_path / "ck"),
+    )
+    assert r.returncode == 0, r.stderr
+    assert os.path.isdir(str(tmp_path / "ck" / "ckpt_best"))
+    r = _run_cli("--platform", "cpu", "train", "--synthetic-n", "16",
+                 "--dec-bit-balance", "1.0")
+    assert r.returncode != 0
+    assert "dec-bit-balance" in r.stderr
+
+
 def test_cli_embed_with_trained_ckpt(tmp_path, rng):
     """--ckpt inference loads a checkpoint trained under a DIFFERENT
     preset's optimizer (params-only restore, checkpoint.restore_params):
