@@ -407,6 +407,30 @@ def plot_roc(labels, probs, out_path: str) -> None:
     plt.close()
 
 
+def default_attacks(sample_rate: int, *, seed: int = 0) -> Dict[str, callable]:
+    """The 8-channel attack matrix used across robustness evals (DEMO.md):
+    identity, additive noise at 30/20 dB SNR, volume, biquad lowpass at
+    7/4 kHz, int16 quantize (ref channel sim: main15c.ipynb cell 4), and an
+    8 kHz resample round trip.  Independent key per stochastic attack —
+    sharing one key would test the same noise realization at both SNRs."""
+    import jax
+
+    from awm_tpu.augment import add_noise, resample_roundtrip
+    from awm_tpu.dsp import lowpass_biquad, quantize_int16
+
+    k30, k20 = jax.random.split(jax.random.key(seed))
+    return {
+        "none": lambda x: x,
+        "noise_30db": lambda x: add_noise(x, k30, (30.0, 30.0)),
+        "noise_20db": lambda x: add_noise(x, k20, (20.0, 20.0)),
+        "volume_0.5": lambda x: x * 0.5,
+        "lowpass_7k": lambda x: lowpass_biquad(x, sample_rate, 7000.0),
+        "lowpass_4k": lambda x: lowpass_biquad(x, sample_rate, 4000.0),
+        "quantize_int16": quantize_int16,
+        "resample_8k": lambda x: resample_roundtrip(x, 8000, sample_rate),
+    }
+
+
 def evaluate_robustness(
     session: InferenceSession,
     clips: "np.ndarray",
@@ -435,23 +459,8 @@ def evaluate_robustness(
     import jax
     import jax.numpy as jnp
 
-    from awm_tpu.augment import add_noise, resample_roundtrip
-    from awm_tpu.dsp import lowpass_biquad, quantize_int16
-
     if attacks is None:
-        # independent key per stochastic attack — sharing one key would test
-        # the same noise realization at both SNRs
-        k30, k20 = jax.random.split(jax.random.key(seed))
-        attacks = {
-            "none": lambda x: x,
-            "noise_30db": lambda x: add_noise(x, k30, (30.0, 30.0)),
-            "noise_20db": lambda x: add_noise(x, k20, (20.0, 20.0)),
-            "volume_0.5": lambda x: x * 0.5,
-            "lowpass_7k": lambda x: lowpass_biquad(x, session.sample_rate, 7000.0),
-            "lowpass_4k": lambda x: lowpass_biquad(x, session.sample_rate, 4000.0),
-            "quantize_int16": quantize_int16,
-            "resample_8k": lambda x: resample_roundtrip(x, 8000, session.sample_rate),
-        }
+        attacks = default_attacks(session.sample_rate, seed=seed)
 
     clips = np.asarray(clips, dtype=np.float32)
     n = clips.shape[0]

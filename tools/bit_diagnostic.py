@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--attack", default=None,
+                    help="apply a named channel attack to the watermarked "
+                         "audio before detection (names from "
+                         "eval.default_attacks, e.g. resample_8k) — shows "
+                         "which bit channels survive that attack")
     args = ap.parse_args()
 
     import jax
@@ -67,6 +72,15 @@ def main():
     _, _, te_idx = split_indices(len(ds), (0.8, 0.1, 0.1), seed=cfg.train.seed)
     clips = np.stack([ds[i] for i in te_idx[: args.n_eval]])
 
+    attack_fn = None
+    if args.attack:
+        from awm_tpu.eval import default_attacks
+
+        table = default_attacks(cfg.sample_rate, seed=args.seed)
+        if args.attack not in table:
+            raise SystemExit(f"--attack must be one of {sorted(table)}")
+        attack_fn = table[args.attack]
+
     bits = cfg.model.message_bits
     rng = np.random.default_rng(args.seed)
     vote_hits = np.zeros(bits)
@@ -76,11 +90,18 @@ def main():
     for i in range(0, len(clips), args.batch_size):
         s = clips[i : i + args.batch_size]
         msgs = rng.integers(0, 2**bits, size=len(s)).astype(np.int32)
-        out = sess.embed_detect(s, msgs)
+        if attack_fn is None:
+            out = sess.embed_detect(s, msgs)
+            mlm, mvf = out["msg_logit_mean"], out["msg_vote_frac"]
+        else:
+            import jax.numpy as jnp
+
+            wm = s + sess.embed_chunks(s, msgs)
+            _, mlm, mvf, _ = sess.detect_summary(np.asarray(attack_fn(jnp.asarray(wm))))
         target = (msgs[:, None] & (1 << np.arange(bits))) > 0
-        vote_hits += ((out["msg_vote_frac"] > 0.5) == target).sum(axis=0)
-        ml_hits += ((out["msg_logit_mean"] > 0) == target).sum(axis=0)
-        abs_logit += np.abs(out["msg_logit_mean"]).sum(axis=0)
+        vote_hits += ((mvf > 0.5) == target).sum(axis=0)
+        ml_hits += ((mlm > 0) == target).sum(axis=0)
+        abs_logit += np.abs(mlm).sum(axis=0)
         n += len(s)
 
     vote_acc = vote_hits / n
@@ -96,6 +117,7 @@ def main():
     )
     print(json.dumps({
         "ckpt": args.ckpt,
+        "attack": args.attack,
         "n_eval": n,
         "vote_acc": [round(float(v), 4) for v in vote_acc],
         "ml_acc": [round(float(v), 4) for v in ml_acc],
