@@ -39,8 +39,8 @@ python -m awm_tpu train $COMMON --epochs 24 --patience 99 \
 touch runs/blS2b/.done
 fi
 
-python tools/demo_eval.py --ckpt runs/blS2b/ckpt_best --sections robustness,quality,decode \
-    > runs/blS2b/demo_eval_stdout.log 2>&1 || \
+# full default section set (quality,robust,ecc,music,cross) — the probe's
+# point is the per-attack detection + decode table (ADVICE.md round-2 fix)
 python tools/demo_eval.py --ckpt runs/blS2b/ckpt_best \
-    > runs/blS2b/demo_eval_stdout.log 2>&1
+    > runs/blS2b/demo_eval.json 2> runs/blS2b/demo_eval.err
 echo PIPELINE_DONE

@@ -260,7 +260,15 @@ def main():
     clips = _test_clips(cfg, args.synthetic_n, args.n_eval)
 
     report = {"ckpt": args.ckpt, "best_val": best_val, "n_eval": len(clips)}
-    wanted = set(args.sections.split(","))
+    known_sections = {"quality", "robust", "ecc", "music", "cross"}
+    wanted = {s.strip() for s in args.sections.split(",") if s.strip()}
+    unknown = wanted - known_sections
+    if unknown:
+        # fail loudly: a typo'd section name must not silently produce a
+        # partial evaluation (ADVICE.md round-2 finding)
+        raise SystemExit(
+            f"unknown --sections {sorted(unknown)}; valid names: {sorted(known_sections)}"
+        )
     if "quality" in wanted:
         report["quality"] = section_quality(sess, clips, cfg, args.batch_size)
     if "robust" in wanted:
