@@ -65,8 +65,14 @@ def _load_session(args):
         # into the wrong detector silently; explicit flags only validate
         arch = ck.read_arch(args.ckpt)
         if arch is not None:
-            from awm_tpu.config import ModelConfig
+            from awm_tpu.config import ModelConfig, ShapingConfig
 
+            if "shaping" in arch:
+                # shaping-trained checkpoint (main16 family): reproduce the
+                # delta-shaping chain at embed time (hard limit_rms cap)
+                cfg = dataclasses.replace(
+                    cfg, shaping=ShapingConfig(**arch.pop("shaping"))
+                )
             known = {f.name for f in dataclasses.fields(ModelConfig)}
             arch = {k: v for k, v in arch.items() if k in known}
             if "strides" in arch:
@@ -159,7 +165,14 @@ def cmd_verify(args):
 
 
 def cmd_train(args):
-    from awm_tpu.data import BatchLoader, OneSecClips, SyntheticClips, split_indices
+    from awm_tpu.data import (
+        BatchLoader,
+        ConcatClips,
+        OneSecClips,
+        SyntheticClips,
+        SyntheticMusicClips,
+        split_indices,
+    )
     from awm_tpu.trainer import fit
 
     cfg = _cfg_for(args)
@@ -202,6 +215,15 @@ def cmd_train(args):
         cfg = dataclasses.replace(
             cfg, loss=dataclasses.replace(cfg.loss, dec_bit_balance=args.dec_bit_balance)
         )
+    if args.shape_max_rms is not None:
+        # hard RMS cap by construction (main16 limit_rms, ref: py/main16.py:69-72):
+        # enables the full shaping chain with the given cap; recorded in the
+        # checkpoint's arch sidecar so inference reproduces it
+        cfg = dataclasses.replace(
+            cfg, shaping=dataclasses.replace(
+                cfg.shaping, enabled=True, max_rms=args.shape_max_rms
+            )
+        )
     if args.loss_weights:
         # term names match --select-metric / the val CSV columns
         field_of = {"l1": "lambda_l1", "mel": "lambda_msspec", "loud": "lambda_loud",
@@ -226,11 +248,13 @@ def cmd_train(args):
         # (20 dB) failed when trained with min=20 — train past the eval edge
         lo, hi = (float(x) for x in args.noise_snr.split(","))
         cuts = tuple(float(x) for x in args.lowpass_hz.split(","))
+        rates = tuple(int(x) for x in args.resample_hz.split(","))
         cfg = dataclasses.replace(cfg, augment=AugmentConfig(
             noise_snr_db=(lo, hi), volume_range=(0.3, 1.2),
             lowpass_hz=cuts if len(cuts) > 1 else cuts[0],
             lowpass_filter="fir" if args.lowpass_fir else "biquad",
-            quantize=True, resample_hz=8000,
+            quantize=True,
+            resample_hz=rates if len(rates) > 1 else rates[0],
             attack_prob=args.attack_prob,
             val_attacks=not args.clean_val,
         ))
@@ -238,11 +262,25 @@ def cmd_train(args):
         ds = OneSecClips(args.data, cfg.sample_rate, cfg.audio_len)
         if not len(ds):
             sys.exit(f"no .wav files under {args.data}")
-        tr_idx, va_idx, _ = split_indices(len(ds), (0.8, 0.1, 0.1), seed=cfg.train.seed)
+        n_total = len(ds)
     else:
         print("no --data given; training on synthetic clips (smoke mode)")
-        ds = SyntheticClips(n=args.synthetic_n, audio_len=cfg.audio_len)
-        tr_idx, va_idx, _ = split_indices(len(ds), (0.8, 0.1, 0.1), seed=cfg.train.seed)
+        n_total = args.synthetic_n
+        n_music = int(round(args.music_frac * n_total))
+        ds = SyntheticClips(n=n_total - n_music, audio_len=cfg.audio_len)
+    if args.music_frac > 0.0:
+        # tonal-content curriculum axis (VERDICT round-2 item 3): mix
+        # synthetic music clips into the corpus so decode doesn't collapse
+        # on tonal OOD content.  music_frac is the music fraction of the
+        # final corpus (synthetic keeps the total at --synthetic-n; --data
+        # adds music on top of the disk clips).  Music uses seed=1; the
+        # demo_eval music section evaluates seed=7 draws, so eval clips
+        # stay unseen.
+        n_music = int(round(args.music_frac * n_total))
+        ds = ConcatClips(
+            ds, SyntheticMusicClips(n=n_music, audio_len=cfg.audio_len, seed=1)
+        )
+    tr_idx, va_idx, _ = split_indices(len(ds), (0.8, 0.1, 0.1), seed=cfg.train.seed)
     # val keeps partial batches (drop_last=False): small validation splits
     # would otherwise yield zero batches and silently skip validation
     mk = lambda idx, sh: BatchLoader(
@@ -425,6 +463,10 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int)
     p.add_argument("--data", help="directory of 1-s wav clips")
     p.add_argument("--synthetic-n", type=int, default=256)
+    p.add_argument("--music-frac", type=float, default=0.0,
+                   help="fraction of the training corpus drawn from synthetic "
+                        "music clips (tonal-content curriculum; fixes decode "
+                        "collapse on tonal OOD content)")
     p.add_argument("--epochs", type=int)
     p.add_argument("--ckpt-dir", default="checkpoints")
     p.add_argument("--init-from", help="checkpoint to fine-tune from (main15c flow)")
@@ -463,6 +505,11 @@ def main(argv=None):
                         "'3500,5000,7000' keeps the watermark carrier below "
                         "the harshest cutoff so out-of-band lowpass attacks "
                         "cannot strip it)")
+    p.add_argument("--resample-hz", default="8000",
+                   help="resample-attack target rate(s) in Hz for --augment; "
+                        "a comma list becomes a per-example curriculum.  Any "
+                        "rational ratio works (polyphase, dsp.resample), e.g. "
+                        "'8000,11025,22050'")
     p.add_argument("--message-encoding", choices=("table", "bits"),
                    help="message pathway: 'table' = reference Embedding(2^16) "
                         "lookup; 'bits' = bit-compositional encoder (fixes "
@@ -484,6 +531,12 @@ def main(argv=None):
                    help="override loss-term weights, e.g. 'dec=5,l1=0.2' "
                         "(terms: l1, mel, loud, loc, dec, hf — the preset's "
                         "reference values otherwise, ref: py/main14.py:34-38)")
+    p.add_argument("--shape-max-rms", type=float, default=None,
+                   help="enable the main16 delta-shaping chain with this hard "
+                        "limit_rms cap (e.g. 0.010); applied in training AND "
+                        "recorded in the checkpoint so inference shapes "
+                        "identically — the watermark RMS is bounded by "
+                        "construction, not just by loss pressure")
     p.add_argument("--dec-bit-balance", type=float, default=None,
                    help="γ>0 re-weights each bit's dec BCE by (its batch BCE "
                         "/ mean)^γ — concentrates decode pressure on unlearned "

@@ -53,6 +53,7 @@ class InferenceSession:
         sample_rate: int = SAMPLE_RATE,
         chunk_len: int = AUDIO_LEN,
         compute_dtype=jnp.bfloat16,
+        shaping=None,
     ):
         # Inference precision is governed HERE by casting variables+inputs,
         # not by the modules' training compute dtype — neutralize any dtype
@@ -69,6 +70,12 @@ class InferenceSession:
         self.sample_rate = sample_rate
         self.chunk_len = chunk_len
         self.compute_dtype = compute_dtype
+        # main16 delta-shaping chain at embed time: the reference applies
+        # fir_lowpass -> clamp_peak -> limit_rms in eval exactly as in
+        # training (ref: py/main16.py:384-386), so a shaping-trained
+        # checkpoint must shape its inference deltas too — this is what
+        # makes the limit_rms cap a HARD guarantee on served watermarks.
+        self.shaping = shaping if (shaping is not None and shaping.enabled) else None
 
         # bf16 conv/BN compute for serving: 1.8x detector throughput with no
         # measurable change in mean detection probability (the LSTM kernel
@@ -85,11 +92,17 @@ class InferenceSession:
         else:
             gen_vars_c, det_vars_c = gen_vars, det_vars
 
-        self._embed = jax.jit(
-            lambda chunks, msgs: self.gen.apply(
+        def _embed_fn(chunks, msgs):
+            delta = self.gen.apply(
                 gen_vars_c, chunks.astype(compute_dtype), msgs
             ).astype(jnp.float32)
-        )
+            if self.shaping is not None:
+                from awm_tpu.shaping import shape_delta
+
+                delta = shape_delta(delta, self.shaping, self.sample_rate)
+            return delta
+
+        self._embed = jax.jit(_embed_fn)
         self._detect = jax.jit(
             lambda chunks: self.det.apply(
                 det_vars_c, chunks.astype(compute_dtype)
@@ -141,7 +154,8 @@ class InferenceSession:
 
     @classmethod
     def from_state(cls, cfg, gen, det, state, compute_dtype=jnp.bfloat16) -> "InferenceSession":
-        """Build from a TrainState (awm_tpu.train)."""
+        """Build from a TrainState (awm_tpu.train).  Adopts the config's
+        delta-shaping chain when enabled (main16 eval parity)."""
         return cls(
             gen,
             det,
@@ -151,6 +165,7 @@ class InferenceSession:
             sample_rate=cfg.sample_rate,
             chunk_len=cfg.audio_len,
             compute_dtype=compute_dtype,
+            shaping=cfg.shaping,
         )
 
     # -- batched chunk kernels (bucket-padded static shapes) ----------------

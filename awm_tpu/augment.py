@@ -49,7 +49,11 @@ class AugmentConfig:
     # steep 101-tap windowed-sinc instead, closing that leak.
     lowpass_filter: str = "biquad"  # "biquad" | "fir"
     quantize: bool = False
-    resample_hz: Optional[int] = None  # e.g. 8000 (down-up round trip)
+    # One target rate, or a tuple sampled per example (resample CURRICULUM,
+    # e.g. (8000, 11025, 22050)) — arbitrary rational ratios via the
+    # polyphase resampler (dsp.resample), so non-integer round trips like
+    # 22.05 kHz are first-class training channels.
+    resample_hz: Optional[int] = None  # int or tuple of ints
     attack_prob: float = 1.0  # per-example, per-attack application probability
     sample_rate: int = 16000
     # Apply the curriculum during validation too (deterministic, epoch-
@@ -81,22 +85,27 @@ def random_volume(x: jnp.ndarray, key: jax.Array, vol_range: Tuple[float, float]
 
 
 def resample_roundtrip(x: jnp.ndarray, target_hz: int, sample_rate: int = 16000) -> jnp.ndarray:
-    """Telephone-channel style down-up resample, on device.
+    """Channel-style down-up resample at ANY rational ratio, on device.
 
-    Anti-alias lowpass at 0.45*target, decimate by the rational stride,
-    then linear-interpolate back to the original grid.  Static shapes,
-    differentiable, fuses with the rest of the step."""
-    assert sample_rate % target_hz == 0, "integer decimation only"
-    q = sample_rate // target_hz
+    Kaiser-windowed polyphase in both directions (dsp.resample — scipy
+    resample_poly parity), matching the reference I/O path's torchaudio
+    Resample semantics (ref: py/main14.py:726-727) for non-integer round
+    trips like 16 kHz -> 22.05 kHz -> 16 kHz.  Static shapes (the
+    intermediate length is ceil(T*up/down)), differentiable, one strided
+    multi-channel conv each way.  The round trip can land one sample short
+    of T (ceil of the inverse ratio); the tail is zero-padded back.
+    """
+    from awm_tpu.dsp.resample import resample_rational
+
     t = x.shape[-1]
-    y = fir_lowpass(x, 0.45 * target_hz, taps=65, sample_rate=sample_rate)
-    low = y[..., ::q]  # (B, T/q)
-    # linear interp back to T points
-    pos = jnp.arange(t) / q
-    i0 = jnp.floor(pos).astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, low.shape[-1] - 1)
-    frac = (pos - i0).astype(x.dtype)
-    return low[..., i0] * (1.0 - frac) + low[..., i1] * frac
+    y = resample_rational(x, sample_rate, target_hz)
+    z = resample_rational(y, target_hz, sample_rate)
+    if z.shape[-1] > t:
+        z = z[..., :t]
+    elif z.shape[-1] < t:
+        pad = [(0, 0)] * (z.ndim - 1) + [(0, t - z.shape[-1])]
+        z = jnp.pad(z, pad)
+    return z
 
 
 def apply_augment(x: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.ndarray:
@@ -116,8 +125,20 @@ def apply_augment(x: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.nda
         key, k1, k2 = jax.random.split(key, 3)
         x = maybe(k1, random_volume(x, k2, cfg.volume_range), x)
     if cfg.resample_hz is not None:
-        key, k1 = jax.random.split(key)
-        x = maybe(k1, resample_roundtrip(x, cfg.resample_hz, cfg.sample_rate), x)
+        key, k1, k2 = jax.random.split(key, 3)
+        rates = (
+            tuple(cfg.resample_hz)
+            if isinstance(cfg.resample_hz, (tuple, list))
+            else (cfg.resample_hz,)
+        )
+        if len(rates) == 1:
+            att = resample_roundtrip(x, rates[0], cfg.sample_rate)
+        else:  # per-example curriculum over the discrete rate choices
+            choice = jax.random.randint(k2, (x.shape[0], 1), 0, len(rates))
+            att = jnp.zeros_like(x)
+            for i, r in enumerate(rates):
+                att = jnp.where(choice == i, resample_roundtrip(x, r, cfg.sample_rate), att)
+        x = maybe(k1, att, x)
     if cfg.lowpass_hz is not None:
         key, k1, k2 = jax.random.split(key, 3)
         cuts = (

@@ -38,18 +38,26 @@ def _ckpt(path: str):
 ARCH_FILE = "awm_arch.json"
 
 
-def write_arch(path: str, model_cfg) -> None:
+def write_arch(path: str, model_cfg, shaping_cfg=None) -> None:
     """Record the ModelConfig next to the orbax tree (inside the checkpoint
     directory) so inference can reconstruct the exact architecture variant
     without user flags.  A dilated-head checkpoint loaded into the default
     shared-head detector restores cleanly (subset tree) but decodes bits
     from channels that received zero gradient — self-description prevents
-    that silent failure."""
+    that silent failure.
+
+    When the training config's delta-shaping chain is enabled (main16,
+    ref: py/main16.py:244-247 applies it in train/val/eval alike), it is
+    recorded under a "shaping" key so inference sessions reproduce the
+    shaped delta — in particular the hard limit_rms cap."""
     import dataclasses
     import json
 
+    doc = dataclasses.asdict(model_cfg)
+    if shaping_cfg is not None and getattr(shaping_cfg, "enabled", False):
+        doc["shaping"] = dataclasses.asdict(shaping_cfg)
     with open(os.path.join(os.path.abspath(path), ARCH_FILE), "w") as f:
-        json.dump(dataclasses.asdict(model_cfg), f, indent=1)
+        json.dump(doc, f, indent=1)
 
 
 def read_arch(path: str):
@@ -65,7 +73,8 @@ def read_arch(path: str):
 
 
 def save_checkpoint(path: str, state, *, epoch: int = 0,
-                    best_val: float = float("inf"), model_cfg=None) -> None:
+                    best_val: float = float("inf"), model_cfg=None,
+                    shaping_cfg=None) -> None:
     """Write {state, epoch, best_val} at path (overwrites).  model_cfg, if
     given, is recorded as an arch sidecar (write_arch) AFTER the orbax save
     — ckptr.save(force=True) clears the directory first."""
@@ -82,7 +91,7 @@ def save_checkpoint(path: str, state, *, epoch: int = 0,
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
     if model_cfg is not None:
-        write_arch(path, model_cfg)
+        write_arch(path, model_cfg, shaping_cfg)
 
 
 def _host_template(tree):

@@ -1,9 +1,10 @@
 from awm_tpu.data.dataset import (
     OneSecClips,
     BatchLoader,
+    ConcatClips,
     SyntheticClips,
     SyntheticMusicClips,
     split_indices,
 )
 
-__all__ = ["OneSecClips", "BatchLoader", "SyntheticClips", "SyntheticMusicClips", "split_indices"]
+__all__ = ["OneSecClips", "BatchLoader", "ConcatClips", "SyntheticClips", "SyntheticMusicClips", "split_indices"]

@@ -169,6 +169,26 @@ class BatchLoader:
         return gen()
 
 
+class ConcatClips:
+    """Concatenation of clip datasets — the speech+music training mix
+    (VERDICT round-2 item 3: tonal content as a curriculum axis).  Index
+    space is the datasets laid end to end; split_indices' shuffled split
+    then distributes both sources across train/val/test."""
+
+    def __init__(self, *datasets):
+        assert datasets
+        self.datasets = datasets
+        self.audio_len = datasets[0].audio_len
+        self._offsets = np.cumsum([0] + [len(d) for d in datasets])
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        k = int(np.searchsorted(self._offsets, idx, "right")) - 1
+        return self.datasets[k][int(idx - self._offsets[k])]
+
+
 class SyntheticClips:
     """Deterministic synthetic speech-like clips — fixture data for tests,
     benchmarks, and smoke training when no corpus is mounted."""

@@ -23,6 +23,7 @@ from awm_tpu.dsp.filters import (
 )
 from awm_tpu.dsp.metrics import si_snr, rms, power_ratio_db, quantize_int16
 from awm_tpu.dsp.quality import nsim_quality
+from awm_tpu.dsp.resample import resample_poly, resample_rational
 
 __all__ = [
     "hann_window",
@@ -43,4 +44,6 @@ __all__ = [
     "power_ratio_db",
     "quantize_int16",
     "nsim_quality",
+    "resample_poly",
+    "resample_rational",
 ]

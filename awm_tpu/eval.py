@@ -408,10 +408,13 @@ def plot_roc(labels, probs, out_path: str) -> None:
 
 
 def default_attacks(sample_rate: int, *, seed: int = 0) -> Dict[str, callable]:
-    """The 8-channel attack matrix used across robustness evals (DEMO.md):
+    """The 10-channel attack matrix used across robustness evals (DEMO.md):
     identity, additive noise at 30/20 dB SNR, volume, biquad lowpass at
-    7/4 kHz, int16 quantize (ref channel sim: main15c.ipynb cell 4), and an
-    8 kHz resample round trip.  Independent key per stochastic attack —
+    7/4 kHz, int16 quantize (ref channel sim: main15c.ipynb cell 4), and
+    resample round trips at 8 kHz plus the NON-INTEGER ratios 22.05 kHz
+    (441/320) and 11.025 kHz (441/640) via the polyphase resampler — the
+    rates the reference's torchaudio I/O path handles implicitly
+    (ref: py/main14.py:726-727).  Independent key per stochastic attack —
     sharing one key would test the same noise realization at both SNRs."""
     import jax
 
@@ -428,6 +431,8 @@ def default_attacks(sample_rate: int, *, seed: int = 0) -> Dict[str, callable]:
         "lowpass_4k": lambda x: lowpass_biquad(x, sample_rate, 4000.0),
         "quantize_int16": quantize_int16,
         "resample_8k": lambda x: resample_roundtrip(x, 8000, sample_rate),
+        "resample_22k": lambda x: resample_roundtrip(x, 22050, sample_rate),
+        "resample_11k": lambda x: resample_roundtrip(x, 11025, sample_rate),
     }
 
 

@@ -24,7 +24,6 @@ Start with:  python -m awm_tpu serve --ckpt runs/base/ckpt_best --port 8787
 
 from __future__ import annotations
 
-import io
 import json
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -33,35 +32,17 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 from awm_tpu.api import InferenceSession, detect_array, verify_array, watermark_array
-from awm_tpu.utils.audio_io import save_wav, to_mono, resample
+from awm_tpu.utils.audio_io import decode_wav_bytes, encode_wav_bytes, to_mono, resample
 
 
 def _decode_wav_bytes(data: bytes, sample_rate: int) -> np.ndarray:
-    import tempfile, os
-
-    from awm_tpu.utils.audio_io import load_audio
-
-    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
-        f.write(data)
-        path = f.name
-    try:
-        wav, sr = load_audio(path)
-    finally:
-        os.unlink(path)
+    """Request body -> mono float32 at the session rate, fully in memory
+    (no temp-file round trip; audio_io._parse_wav on a BytesIO)."""
+    wav, sr = decode_wav_bytes(data)
     return resample(to_mono(wav), sr, sample_rate)
 
 
-def _encode_wav_bytes(waveform: np.ndarray, sample_rate: int) -> bytes:
-    import tempfile, os
-
-    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
-        path = f.name
-    try:
-        save_wav(path, waveform, sample_rate)
-        with open(path, "rb") as g:
-            return g.read()
-    finally:
-        os.unlink(path)
+_encode_wav_bytes = encode_wav_bytes
 
 
 def make_handler(session: InferenceSession):
@@ -164,6 +145,17 @@ def make_handler(session: InferenceSession):
     return Handler
 
 
+class AwmHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a listen backlog sized for bursty load.
+
+    The stdlib default request_queue_size=5 makes the kernel RST
+    simultaneous connections beyond the backlog — measured: 13 of 32
+    concurrent clients got ECONNRESET.  128 covers the micro-batcher's
+    coalescing window worth of connects."""
+
+    request_queue_size = 128
+
+
 def serve(
     session: InferenceSession,
     host: str = "127.0.0.1",
@@ -175,7 +167,7 @@ def serve(
     from awm_tpu.batching import BatchedSession
 
     batched = BatchedSession(session, max_batch=max_batch, max_wait_ms=max_wait_ms)
-    httpd = ThreadingHTTPServer((host, port), make_handler(batched))
+    httpd = AwmHTTPServer((host, port), make_handler(batched))
     print(f"awm_tpu serving on http://{host}:{port} "
           "(POST /embed, /detect, /verify; GET /healthz)")
     try:

@@ -248,9 +248,11 @@ def _fit(
             if val_total < best_val:
                 best_val = val_total
                 ck.save_checkpoint(ck.best_path(ckpt_dir), state, epoch=epoch + 1,
-                                   best_val=best_val, model_cfg=cfg.model)
+                                   best_val=best_val, model_cfg=cfg.model,
+                                   shaping_cfg=cfg.shaping)
             ck.save_checkpoint(ck.latest_path(ckpt_dir), state, epoch=epoch + 1,
-                               best_val=best_val, model_cfg=cfg.model)
+                               best_val=best_val, model_cfg=cfg.model,
+                               shaping_cfg=cfg.shaping)
         else:
             best_val = min(best_val, val_total)
 

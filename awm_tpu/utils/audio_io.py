@@ -46,29 +46,62 @@ def load_audio(path: str) -> Tuple[np.ndarray, int]:
 
 def _read_wav(path: str) -> Tuple[np.ndarray, int]:
     with open(path, "rb") as f:
-        riff = f.read(12)
-        if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
-            raise ValueError(f"{path}: not a RIFF/WAVE file")
-        fmt = None
-        while True:
-            hdr = f.read(8)
-            if len(hdr) < 8:
-                raise ValueError(f"{path}: no data chunk")
-            cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
-            if cid == b"fmt ":
-                fmt = f.read(size)
-                if size % 2:
-                    f.read(1)
-            elif cid == b"data":
-                raw = f.read(size)
-                break
-            else:
-                f.seek(size + (size % 2), os.SEEK_CUR)
-        if fmt is None:
-            raise ValueError(f"{path}: missing fmt chunk")
-        (audio_format, channels, sr, _, _, bits) = struct.unpack("<HHIIHH", fmt[:16])
-        if audio_format == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
-            audio_format = struct.unpack("<H", fmt[24:26])[0]
+        return _parse_wav(f, path)
+
+
+def decode_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
+    """Parse WAV bytes in memory -> ((channels, T) float32, sr).
+
+    The zero-copy serving path (awm_tpu.serve): request bodies never touch
+    the filesystem."""
+    import io
+
+    return _parse_wav(io.BytesIO(data), "<bytes>")
+
+
+def encode_wav_bytes(waveform: np.ndarray, sample_rate: int) -> bytes:
+    """Encode (channels, T) or (T,) float waveform as 16-bit PCM WAV bytes
+    in memory (same encoding as save_wav)."""
+    import io
+
+    x = np.asarray(waveform, dtype=np.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    pcm = np.round(np.clip(x, -1.0, 1.0) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(pcm.shape[0])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.T.tobytes())
+    return buf.getvalue()
+
+
+def _parse_wav(f, path: str) -> Tuple[np.ndarray, int]:
+    """Parse RIFF/WAVE from any binary file-like object (file or BytesIO)."""
+    riff = f.read(12)
+    if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+    fmt = None
+    while True:
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            raise ValueError(f"{path}: no data chunk")
+        cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+        if cid == b"fmt ":
+            fmt = f.read(size)
+            if size % 2:
+                f.read(1)
+        elif cid == b"data":
+            raw = f.read(size)
+            break
+        else:
+            f.seek(size + (size % 2), os.SEEK_CUR)
+    if fmt is None:
+        raise ValueError(f"{path}: missing fmt chunk")
+    (audio_format, channels, sr, _, _, bits) = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_format == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
+        audio_format = struct.unpack("<H", fmt[24:26])[0]
 
     if audio_format == 1:  # PCM
         if bits == 16:
@@ -103,18 +136,11 @@ def save_wav(path: str, waveform: np.ndarray, sample_rate: int) -> None:
     Matches the reference's quality save path: clamp to [-1, 1], scale to
     int16, PCM_S encoding (ref: py/main15.py:857-867).
     """
-    x = np.asarray(waveform, dtype=np.float32)
-    if x.ndim == 1:
-        x = x[None, :]
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
-    pcm = np.round(np.clip(x, -1.0, 1.0) * 32767.0).astype("<i2")
-    with wave.open(path, "wb") as w:
-        w.setnchannels(pcm.shape[0])
-        w.setsampwidth(2)
-        w.setframerate(sample_rate)
-        w.writeframes(pcm.T.tobytes())
+    with open(path, "wb") as f:
+        f.write(encode_wav_bytes(waveform, sample_rate))
 
 
 def to_mono(waveform: np.ndarray) -> np.ndarray:

@@ -330,3 +330,43 @@ def test_optimal_threshold_saturated():
     assert cal["tpr"] == 1.0 and cal["fpr"] == 0.0
     assert (np.asarray([1.0, 1.0]) > cal["threshold"]).all()
     assert not (np.asarray([0.0, 0.0]) > cal["threshold"]).any()
+
+
+def test_shaping_session_enforces_rms_cap(tmp_path):
+    """A shaping-enabled config (main16 limit_rms, ref: py/main16.py:69-72)
+    must (a) cap every embedded delta's RMS at inference by construction,
+    (b) record the chain in the checkpoint's arch sidecar, and (c) be
+    reconstructed by the CLI loader so the cap survives a save/load cycle."""
+    from awm_tpu import checkpoint as ck
+    from awm_tpu.config import ShapingConfig
+
+    cap = 0.003
+    cfg = dataclasses.replace(
+        get_config("base"),
+        audio_len=CHUNK,
+        shaping=ShapingConfig(enabled=True, max_rms=cap),
+    )
+    state, gen, det = tr.init_state(cfg, jax.random.key(3))
+    sess = api.InferenceSession.from_state(cfg, gen, det, state)
+    rng = np.random.default_rng(2)
+    clips = (0.3 * rng.standard_normal((8, CHUNK))).astype(np.float32)
+    msgs = rng.integers(0, 2**16, size=8).astype(np.int32)
+    delta = np.asarray(sess.embed_chunks(clips, msgs))
+    rms = np.sqrt((delta**2).mean(axis=-1))
+    assert (rms <= cap * 1.001).all(), rms
+
+    # un-shaped session from the same weights exceeds the cap (init-scale
+    # deltas are large), proving the cap comes from the shaping chain
+    plain = api.InferenceSession.from_state(
+        dataclasses.replace(cfg, shaping=ShapingConfig()), gen, det, state
+    )
+    rms_plain = np.sqrt((np.asarray(plain.embed_chunks(clips, msgs)) ** 2).mean(-1))
+    assert rms_plain.max() > cap
+
+    # sidecar round trip
+    p = str(tmp_path / "ckpt")
+    ck.save_checkpoint(p, state, model_cfg=cfg.model, shaping_cfg=cfg.shaping)
+    arch = ck.read_arch(p)
+    assert arch["shaping"]["enabled"] and arch["shaping"]["max_rms"] == cap
+    rebuilt = ShapingConfig(**arch["shaping"])
+    assert rebuilt == cfg.shaping

@@ -46,3 +46,33 @@ def test_load_mono_16k_end_to_end(tmp_path, rng):
     y = audio_io.load_mono_16k(p)
     assert y.ndim == 1
     assert abs(len(y) - 16000) <= 2
+
+
+def test_in_memory_wav_codec_roundtrip():
+    """decode_wav_bytes/encode_wav_bytes (the zero-temp-file serving path)
+    agree exactly with the file-based save_wav/load_audio pair."""
+    import os
+    import tempfile
+
+    from awm_tpu.utils.audio_io import (
+        decode_wav_bytes,
+        encode_wav_bytes,
+        load_audio,
+        save_wav,
+    )
+
+    rng = np.random.default_rng(0)
+    x = (0.5 * rng.standard_normal((2, 1234))).astype(np.float32).clip(-1, 1)
+    blob = encode_wav_bytes(x, 16000)
+    assert blob[:4] == b"RIFF"
+    wav, sr = decode_wav_bytes(blob)
+    assert sr == 16000 and wav.shape == x.shape
+    # save scales by 32767, load by 32768 (torchaudio-identical asymmetry)
+    np.testing.assert_allclose(wav, x, atol=1e-4)
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.wav")
+        save_wav(p, x, 16000)
+        via_file, sr2 = load_audio(p)
+        assert open(p, "rb").read() == blob  # identical encoder
+    np.testing.assert_array_equal(via_file, wav)

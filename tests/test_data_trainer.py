@@ -338,3 +338,36 @@ def test_quick_val_cycles_val_batches():
     # 3 quick-vals cycling 2 val batches -> 0,1,0; end-of-epoch validation
     # then consumes 0,1.  The buggy behavior yields 0,0,0 first.
     assert val.yielded[:3] == [0, 1, 0], val.yielded
+
+
+def test_resample_curriculum_selects_per_example():
+    """A tuple resample_hz draws a target rate per example (polyphase,
+    arbitrary rational ratios): each row matches exactly one of the two
+    round trips and both appear across the batch."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray((rng.standard_normal((16, 2048)) * 0.2).astype(np.float32))
+    key = jax.random.key(6)
+
+    cur = np.asarray(
+        apply_augment(x, key, AugmentConfig(resample_hz=(8000, 22050), attack_prob=1.0))
+    )
+    a = np.asarray(resample_roundtrip(x, 8000))
+    b = np.asarray(resample_roundtrip(x, 22050))
+    is_a = np.isclose(cur, a, atol=1e-6).all(axis=-1)
+    is_b = np.isclose(cur, b, atol=1e-6).all(axis=-1)
+    assert (is_a | is_b).all()
+    assert is_a.any() and is_b.any()
+
+
+def test_concat_clips_mix():
+    """ConcatClips lays datasets end to end (speech+music training mix)."""
+    from awm_tpu.data import ConcatClips, SyntheticClips, SyntheticMusicClips
+
+    a = SyntheticClips(n=6, audio_len=800)
+    b = SyntheticMusicClips(n=3, audio_len=800, seed=1)
+    ds = ConcatClips(a, b)
+    assert len(ds) == 9 and ds.audio_len == 800
+    np.testing.assert_array_equal(ds[0], a[0])
+    np.testing.assert_array_equal(ds[5], a[5])
+    np.testing.assert_array_equal(ds[6], b[0])
+    np.testing.assert_array_equal(ds[8], b[2])

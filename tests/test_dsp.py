@@ -203,3 +203,38 @@ def test_pesq_optional_wiring():
         assert isinstance(out, float) and out > 3.5  # identity ~ max MOS
     else:
         assert out is None
+
+
+def test_resample_poly_matches_scipy():
+    """Polyphase rational resampler vs scipy.signal.resample_poly with the
+    identical default prototype (firwin kaiser beta=5) — covers the
+    non-integer 22.05 k / 11.025 k ratios the reference's torchaudio I/O
+    path implies (ref: py/main14.py:726-727)."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(16000).astype(np.float32)
+    for up, down in [(441, 320), (320, 441), (1, 2), (2, 1), (441, 640), (3, 1)]:
+        ref = scipy.signal.resample_poly(
+            x.astype(np.float64), up, down, window=("kaiser", 5.0)
+        )
+        got = np.asarray(dsp.resample_poly(jnp.asarray(x)[None], up, down))[0]
+        assert got.shape == ref.shape, (up, down, got.shape, ref.shape)
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_resample_rational_roundtrip_22k():
+    """16 k -> 22.05 k -> 16 k round trip preserves in-band content and
+    returns the original length (the arbitrary-ratio attack channel)."""
+    from awm_tpu.augment import resample_roundtrip
+
+    t = np.arange(16000) / 16000.0
+    lo = jnp.asarray(np.sin(2 * np.pi * 1000 * t).astype(np.float32))[None]
+    for rate in (22050, 11025):
+        out = np.asarray(resample_roundtrip(lo, rate))
+        assert out.shape == (1, 16000)
+        # interior energy preserved (edges see filter transients)
+        err = out[0, 1000:-1000] - np.asarray(lo)[0, 1000:-1000]
+        assert np.sqrt((err**2).mean()) < 0.02, rate
+    # 7 kHz content must NOT survive an 11.025 k round trip (Nyquist 5.5k)
+    hi = jnp.asarray(np.sin(2 * np.pi * 7000 * t).astype(np.float32))[None]
+    out = np.asarray(resample_roundtrip(hi, 11025))
+    assert np.sqrt((out**2).mean()) < 0.05

@@ -13,10 +13,9 @@ import jax
 
 from awm_tpu.api import InferenceSession
 from awm_tpu.config import get_config
-from awm_tpu.serve import make_handler
+from awm_tpu.serve import AwmHTTPServer, make_handler
 from awm_tpu import train as tr
 from awm_tpu.utils.audio_io import save_wav
-from http.server import ThreadingHTTPServer
 
 CHUNK = 800
 
@@ -29,7 +28,7 @@ def server():
     state, gen, det = tr.init_state(cfg, jax.random.key(0))
     sess = InferenceSession.from_state(cfg, gen, det, state)
     batched = BatchedSession(sess, max_wait_ms=10.0)
-    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batched))
+    httpd = AwmHTTPServer(("127.0.0.1", 0), make_handler(batched))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     yield httpd.server_address
@@ -289,3 +288,54 @@ def test_batched_session_proxies_file_api(batched_pair, rng):
     det = detect_array(res["watermarked_waveform"], batched)
     ref = detect_array(res["watermarked_waveform"], sess)
     assert abs(det["mean_probability"] - ref["mean_probability"]) < 1e-6
+
+
+def test_load_32_concurrent_clients(server, rng):
+    """VERDICT round-2 item 8: >=32 concurrent clients hitting /detect and
+    /embed must all succeed, with the micro-batcher coalescing their chunks
+    into fewer device batches than requests; /healthz exposes the stats."""
+    host, port = server
+    n_clients = 32
+    wavs = [
+        _wav_bytes((0.2 * rng.standard_normal(2 * CHUNK)).astype(np.float32))
+        for _ in range(4)
+    ]
+
+    def stats():
+        c = http.client.HTTPConnection(host, port, timeout=30)
+        c.request("GET", "/healthz")
+        return json.loads(c.getresponse().read())["batching"]
+
+    before = stats()
+    results = []
+    barrier = threading.Barrier(n_clients)
+
+    def hit(i):
+        barrier.wait()
+        data = wavs[i % len(wavs)]
+        c = http.client.HTTPConnection(host, port, timeout=300)
+        if i % 2:
+            c.request("POST", "/detect", body=data,
+                      headers={"Content-Length": str(len(data))})
+            r = c.getresponse()
+            results.append((r.status, json.loads(r.read())["mean_probability"]))
+        else:
+            c.request("POST", f"/embed?message={i}", body=data,
+                      headers={"Content-Length": str(len(data))})
+            r = c.getresponse()
+            body = r.read()
+            results.append((r.status, body[:4] == b"RIFF"))
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == n_clients
+    assert all(s == 200 for s, _ in results)
+    after = stats()
+    reqs = after["requests"] - before["requests"]
+    batches = after["device_batches"] - before["device_batches"]
+    assert reqs >= n_clients
+    # coalescing: strictly fewer device calls than requests under load
+    assert batches < reqs, (batches, reqs)

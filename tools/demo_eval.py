@@ -104,6 +104,38 @@ def section_robust(sess, clips, n: int = 128):
     }
 
 
+def aggregate_tables(tables):
+    """{attack: {metric: value}} tables -> {attack: {metric: {mean,std,min,max}}}."""
+    out = {}
+    for atk in tables[0]:
+        out[atk] = {}
+        for m in tables[0][atk]:
+            vals = np.asarray([t[atk][m] for t in tables], dtype=np.float64)
+            out[atk][m] = {
+                "mean": round(float(vals.mean()), 4),
+                "std": round(float(vals.std()), 4),
+                "min": round(float(vals.min()), 4),
+                "max": round(float(vals.max()), 4),
+            }
+    return out
+
+
+def section_variance(sess, clips, seeds, n: int = 128):
+    """Across-seed spread of the attack matrix (VERDICT round-2 item 4: the
+    reference reports single-seed evals, py/main14.py:1043-1093 — quantify
+    the margin instead).  Each seed redraws the clip subset, the embedded
+    messages, AND the stochastic attack realizations (noise, volume)."""
+    from awm_tpu.eval import evaluate_robustness
+
+    tables = []
+    for s in seeds:
+        rng = np.random.default_rng(1000 + s)
+        idx = rng.choice(len(clips), size=min(n, len(clips)), replace=False)
+        tables.append(evaluate_robustness(sess, clips[idx], seed=s))
+    agg = aggregate_tables(tables)
+    return {"seeds": list(seeds), "n_per_seed": int(min(n, len(clips))), "attacks": agg}
+
+
 def section_ecc(sess, clips, n: int = 128):
     """Message-EXACT decode rates per attack, raw 16-bit vs SECDED-coded
     11-bit payloads (awm_tpu.ecc): the framework's answer to 'can I trust
@@ -116,23 +148,28 @@ def section_ecc(sess, clips, n: int = 128):
 
 
 def section_music(sess, cfg, n: int, batch: int):
-    """Out-of-domain music generalization: embed+detect on music-like clips
-    with the speech-trained model (the reference's GTZAN/FMA/Songs sweeps,
-    ref: py/main15.py:1907,2030; py/main14.py:1641 — accuracy 0.96 on music
-    per main14.ipynb cell 24)."""
+    """Out-of-domain music generalization: embed+detect AND decode on
+    music-like clips with the speech-trained model (the reference's
+    GTZAN/FMA/Songs sweeps, ref: py/main15.py:1907,2030; py/main14.py:1641 —
+    accuracy 0.96 on music per main14.ipynb cell 24).  bit_accuracy here is
+    the round-2 'measured limitation' metric: decode on strongly tonal
+    content sat at chance before the --music-frac training mix."""
     from awm_tpu.data import SyntheticMusicClips
     from awm_tpu.eval import roc_auc
 
     ds = SyntheticMusicClips(n=n, audio_len=cfg.audio_len, seed=7)
     clips = np.stack([ds[i] for i in range(len(ds))])
     rng = np.random.default_rng(0)
-    p_wm, p_clean = [], []
+    p_wm, p_clean, bits_ml, d_rms = [], [], [], []
     for i in range(0, len(clips), batch):
         s = clips[i : i + batch]
         msgs = rng.integers(0, 2**sess.message_bits, size=len(s)).astype(np.int32)
         out = sess.embed_detect(s, msgs)
         p_wm.extend(out["wm_prob"])
         p_clean.extend(out["clean_prob"])
+        target = (msgs[:, None] & (1 << np.arange(sess.message_bits))) > 0
+        bits_ml.extend(((out["msg_logit_mean"] > 0) == target).mean(axis=1))
+        d_rms.extend(out["delta_rms"])
     p_wm, p_clean = np.asarray(p_wm), np.asarray(p_clean)
     labels = [1] * len(p_wm) + [0] * len(p_clean)
     _, _, _, auc = roc_auc(labels, np.concatenate([p_wm, p_clean]))
@@ -143,6 +180,8 @@ def section_music(sess, cfg, n: int, batch: int):
             ((p_wm > 0.5).sum() + (p_clean <= 0.5).sum()) / (2 * len(p_wm))
         ),
         "roc_auc": float(auc),
+        "bit_accuracy": float(np.mean(bits_ml)),
+        "delta_rms": float(np.mean(d_rms)),
     }
 
 
@@ -196,6 +235,10 @@ def main():
     ap.add_argument("--n-eval", type=int, default=1024)
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--sections", default="quality,robust,ecc,music,cross")
+    ap.add_argument("--robust-seeds", default="0,1,2",
+                    help="eval seeds for the opt-in 'variance' section "
+                         "(clip draw + messages + attack realizations vary "
+                         "per seed)")
     ap.add_argument("--message-encoding", choices=("table", "bits"), default=None,
                     help="override the preset's generator message pathway "
                          "(needed to evaluate --message-encoding bits ckpts)")
@@ -227,8 +270,10 @@ def main():
         # only validate against it — see awm_tpu.checkpoint.write_arch)
         import dataclasses
 
-        from awm_tpu.config import ModelConfig
+        from awm_tpu.config import ModelConfig, ShapingConfig
 
+        if "shaping" in arch:
+            cfg = dataclasses.replace(cfg, shaping=ShapingConfig(**arch.pop("shaping")))
         known = {f.name for f in dataclasses.fields(ModelConfig)}
         arch = {k: v for k, v in arch.items() if k in known}
         if "strides" in arch:
@@ -260,7 +305,7 @@ def main():
     clips = _test_clips(cfg, args.synthetic_n, args.n_eval)
 
     report = {"ckpt": args.ckpt, "best_val": best_val, "n_eval": len(clips)}
-    known_sections = {"quality", "robust", "ecc", "music", "cross"}
+    known_sections = {"quality", "robust", "ecc", "music", "cross", "variance"}
     wanted = {s.strip() for s in args.sections.split(",") if s.strip()}
     unknown = wanted - known_sections
     if unknown:
@@ -273,6 +318,9 @@ def main():
         report["quality"] = section_quality(sess, clips, cfg, args.batch_size)
     if "robust" in wanted:
         report["robust"] = section_robust(sess, clips)
+    if "variance" in wanted:
+        seeds = [int(s) for s in args.robust_seeds.split(",") if s.strip()]
+        report["variance"] = section_variance(sess, clips, seeds)
     if "ecc" in wanted:
         report["ecc"] = section_ecc(sess, clips)
     if "music" in wanted:
