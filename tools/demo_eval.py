@@ -251,6 +251,16 @@ def main():
     ap.add_argument("--platform", default=None, help="force a jax platform (cpu/tpu/axon)")
     args = ap.parse_args()
 
+    known_sections = {"quality", "robust", "ecc", "music", "cross", "variance"}
+    wanted = {s.strip() for s in args.sections.split(",") if s.strip()}
+    unknown = wanted - known_sections
+    if unknown:
+        # fail loudly BEFORE any model/backend work: a typo'd section name
+        # must not silently produce a partial evaluation (ADVICE.md round-2)
+        raise SystemExit(
+            f"unknown --sections {sorted(unknown)}; valid names: {sorted(known_sections)}"
+        )
+
     import jax
 
     if args.platform:
@@ -305,15 +315,6 @@ def main():
     clips = _test_clips(cfg, args.synthetic_n, args.n_eval)
 
     report = {"ckpt": args.ckpt, "best_val": best_val, "n_eval": len(clips)}
-    known_sections = {"quality", "robust", "ecc", "music", "cross", "variance"}
-    wanted = {s.strip() for s in args.sections.split(",") if s.strip()}
-    unknown = wanted - known_sections
-    if unknown:
-        # fail loudly: a typo'd section name must not silently produce a
-        # partial evaluation (ADVICE.md round-2 finding)
-        raise SystemExit(
-            f"unknown --sections {sorted(unknown)}; valid names: {sorted(known_sections)}"
-        )
     if "quality" in wanted:
         report["quality"] = section_quality(sess, clips, cfg, args.batch_size)
     if "robust" in wanted:
