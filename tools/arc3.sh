@@ -64,6 +64,7 @@ python -m awm_tpu train $COMMON --decode-head dilated --epochs 34 --patience 99 
     > runs/arcD/train.log 2>&1
 touch runs/arcD/.done
 python tools/demo_eval.py --ckpt runs/arcD/ckpt_best \
+    --sections quality,robust,variance,ecc,music,cross \
     > runs/arcD/demo_eval.json 2> runs/arcD/demo_eval.err || true
 fi
 echo ARC3_DONE

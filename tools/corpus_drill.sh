@@ -60,7 +60,7 @@ python -m awm_tpu prep classify "$D/clips" "$D/classified" --workers 8
 python -m awm_tpu prep speech-only "$D/classified/speech_files.txt" "$D/speech"
 
 # 6. train on the disk corpus — OneSecClips + the native wav batch decoder
-python -m awm_tpu train --platform cpu --data "$D/speech" \
+python -m awm_tpu --platform cpu train --data "$D/speech" \
     --epochs 2 --batch-size 32 \
     --ckpt-dir "$D/run" --log-csv "$D/run/metrics.csv"
 
