@@ -95,7 +95,9 @@ def test_find_silent(corpus):
 
 
 def _run_cli(*args):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR="/tmp/awm_tpu_test_cache",
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5")
     return subprocess.run(
         [sys.executable, "-m", "awm_tpu", *args],
         capture_output=True, text=True, cwd="/root/repo", env=env, timeout=500,
@@ -353,3 +355,45 @@ def test_cli_embed_with_trained_ckpt(tmp_path, rng):
     )
     assert r.returncode == 0, r.stderr
     assert os.path.exists(out)
+
+
+def test_cli_train_seed_override(tmp_path):
+    """--seed drives init/split/shuffle: two seeds land at different best_val
+    (training-seed variance needs this knob; VERDICT round-2 item 4)."""
+    outs = []
+    for seed in (0, 1):
+        r = _run_cli(
+            "--platform", "cpu", "train", "--synthetic-n", "16",
+            "--batch-size", "4", "--epochs", "1", "--audio-len", "512",
+            "--seed", str(seed), "--ckpt-dir", str(tmp_path / f"s{seed}"),
+        )
+        assert r.returncode == 0, r.stderr
+        outs.append(json.loads(r.stdout[r.stdout.index("{"):])["best_val"])
+    assert outs[0] != outs[1]
+
+
+def test_cli_curriculum_smoke(tmp_path):
+    """curriculum robust_decode --smoke: the 4-leg flagship recipe runs end
+    to end as ONE command, each leg fine-tuning the previous leg's best
+    checkpoint; finished legs are skipped on re-run (.done markers)."""
+    out = str(tmp_path / "cur")
+    args = ("--platform", "cpu", "curriculum", "robust_decode", "--out", out,
+            "--synthetic-n", "16", "--batch-size", "4", "--audio-len", "512",
+            "--music-frac", "0.25", "--smoke")
+    r = _run_cli(*args)
+    assert r.returncode == 0, r.stderr
+    tail = json.loads(r.stdout[r.stdout.rindex('{\n  "recipe"'):])
+    assert list(tail["legs"]) == ["A_shared", "B_dilated", "C_robust", "D_tighten"]
+    for name in tail["legs"]:
+        assert os.path.isdir(os.path.join(out, name, "ckpt_best")), name
+        assert os.path.isfile(os.path.join(out, name, ".done")), name
+    assert tail["final_ckpt"] == os.path.join(out, "D_tighten", "ckpt_best")
+    # the final leg's checkpoint is the full decode arch (sidecar says so)
+    arch = json.load(open(os.path.join(out, "D_tighten", "ckpt_best",
+                                       "awm_arch.json")))
+    assert arch["decode_head"] == "dilated"
+    assert arch["message_encoding"] == "bits"
+    # re-run: every leg skips
+    r = _run_cli(*args)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.count("already done, skipping") == 4
