@@ -316,9 +316,12 @@ def cmd_train(args):
 # probed and failed (evidence/blS2* — the co-trained-dilated-head ceiling),
 # so the minimal recipe stays 4 legs; this command makes it ONE command.
 _CURRICULA = {
+    # Placement of --dec-bit-balance is measured, not stylistic: balance
+    # during the ROBUST leg collapses decode to ~0.54 (evidence/arc3C);
+    # balance during tighten legs revives dead bit channels (blB/blF3).
     "robust_decode": {
         "common": ["--message-encoding", "bits", "--dec-loss", "mean",
-                   "--delta-band-hz", "3000", "--dec-bit-balance", "1.0"],
+                   "--delta-band-hz", "3000"],
         "robust": ["--augment", "--attack-prob", "0.45", "--noise-snr", "10,40",
                    "--lowpass-hz", "3500,5000,7000",
                    "--resample-hz", "8000,11025,22050"],
@@ -332,16 +335,24 @@ _CURRICULA = {
                            "--patience", "6",
                            "--loss-weights", "dec=10,loud=3,mel=1",
                            "--select-metric", "dec"], False),
-            # channel-attack curriculum, perceptual budget HELD
-            ("C_robust", ["--decode-head", "dilated", "--epochs", "22",
+            # channel-attack curriculum, budget HELD, NO balance (blR2 leg)
+            ("C_robust", ["--decode-head", "dilated", "--epochs", "26",
                           "--patience", "99",
                           "--loss-weights", "dec=10,loud=3,mel=1",
                           "--select-metric", "loc,dec"], True),
-            # patient gradual re-tighten (one-shot re-tightening collapses
-            # decode to chance: evidence/blR vs blT/blF3)
-            ("D_tighten", ["--decode-head", "dilated", "--epochs", "34",
-                           "--patience", "99",
+            # gradual re-tighten with balance (one-shot re-tightening
+            # collapses decode to chance: evidence/blR vs blT/blF3)
+            ("D_tighten", ["--decode-head", "dilated", "--epochs", "26",
+                           "--patience", "99", "--dec-bit-balance", "1.0",
+                           "--loss-weights", "dec=10,loud=6,mel=1.5",
+                           "--select-metric", "loc,dec"], True),
+            ("E_tighten", ["--decode-head", "dilated", "--epochs", "40",
+                           "--patience", "99", "--dec-bit-balance", "1.0",
                            "--loss-weights", "dec=10,loud=8,mel=1.75",
+                           "--select-metric", "loc,dec"], True),
+            ("F_tighten", ["--decode-head", "dilated", "--epochs", "30",
+                           "--patience", "99", "--dec-bit-balance", "1.0",
+                           "--loss-weights", "dec=10,loud=10,mel=2.0",
                            "--select-metric", "loc,dec"], True),
         ],
     },
