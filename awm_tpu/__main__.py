@@ -389,6 +389,9 @@ def cmd_curriculum(args):
         leg = list(leg)
         if args.smoke:
             leg[leg.index("--epochs") + 1] = "1"
+        elif args.epochs_scale != 1.0:
+            k = leg.index("--epochs") + 1
+            leg[k] = str(max(1, round(int(leg[k]) * args.epochs_scale)))
         argv = (["--platform", args.platform] if args.platform else [])
         argv += ["train"] + rec["common"] + shared + leg
         argv += rec["robust"] if robust else []
@@ -680,6 +683,9 @@ def main(argv=None):
     p.add_argument("--init-from", help="start the first leg from a checkpoint")
     p.add_argument("--smoke", action="store_true",
                    help="1 epoch per leg (pipeline smoke test)")
+    p.add_argument("--epochs-scale", type=float, default=1.0,
+                   help="scale every leg's epoch budget (e.g. 0.5 for a "
+                        "compressed recipe-stability / seed-variance run)")
     p.set_defaults(fn=cmd_curriculum)
 
     p = sub.add_parser("evaluate", help="corpus sweep: accuracy/AUC/K-fold")
