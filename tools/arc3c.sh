@@ -30,14 +30,14 @@ python tools/demo_eval.py --ckpt runs/shapecap/ckpt_best \
     > runs/shapecap/demo_eval.json 2> runs/shapecap/demo_eval.err || true
 fi
 
-# compressed seed-1 recipe: same structure, ~45% of the epochs.  Absolute
+# compressed seed-1 recipe: same structure, ~35% of the epochs.  Absolute
 # endpoints will undershoot the full arc; the claim this measures is
 # recipe STABILITY under a different seed (no wedge, same ordering of
 # improvements), plus a second point for the variance table.
 if [ ! -e runs/cur_s1/.done ]; then
 mkdir -p runs/cur_s1
 python -m awm_tpu curriculum robust_decode --out runs/cur_s1 --seed 1 \
-    --epochs-scale 0.45 \
+    --epochs-scale 0.35 \
     > runs/cur_s1.json 2> runs/cur_s1.err || true
 touch runs/cur_s1/.done
 python tools/demo_eval.py --ckpt runs/cur_s1/F_tighten/ckpt_best \
