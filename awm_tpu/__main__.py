@@ -366,6 +366,11 @@ def cmd_curriculum(args):
     import os
 
     rec = _CURRICULA[args.recipe]
+    leg_names = [n for n, _, _ in rec["legs"]]
+    if args.stop_after and args.stop_after not in leg_names:
+        raise SystemExit(
+            f"--stop-after {args.stop_after!r} is not a leg of "
+            f"{args.recipe!r}; legs: {', '.join(leg_names)}")
     shared = ["--batch-size", str(args.batch_size),
               "--music-frac", str(args.music_frac),
               "--workers", str(args.workers)]
@@ -385,6 +390,10 @@ def cmd_curriculum(args):
             print(f"curriculum: leg {name} already done, skipping", flush=True)
             prev = os.path.join(d, "ckpt_best")
             legs_out[name] = prev
+            if args.stop_after and name == args.stop_after:
+                print(f"curriculum: stopping after leg {name} (--stop-after)",
+                      flush=True)
+                break
             continue
         leg = list(leg)
         if args.smoke:
@@ -404,6 +413,10 @@ def cmd_curriculum(args):
             f.write("")
         prev = os.path.join(d, "ckpt_best")
         legs_out[name] = prev
+        if args.stop_after and name == args.stop_after:
+            print(f"curriculum: stopping after leg {name} (--stop-after)",
+                  flush=True)
+            break
     print(json.dumps({"recipe": args.recipe, "legs": legs_out,
                       "final_ckpt": prev}, indent=2))
 
@@ -686,6 +699,10 @@ def main(argv=None):
     p.add_argument("--epochs-scale", type=float, default=1.0,
                    help="scale every leg's epoch budget (e.g. 0.5 for a "
                         "compressed recipe-stability / seed-variance run)")
+    p.add_argument("--stop-after", default=None,
+                   help="stop after the named leg finishes (drivers use this "
+                        "to interleave evals/snapshots between legs; re-run "
+                        "to continue — finished legs are skipped)")
     p.set_defaults(fn=cmd_curriculum)
 
     p = sub.add_parser("evaluate", help="corpus sweep: accuracy/AUC/K-fold")

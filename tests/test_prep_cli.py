@@ -398,3 +398,25 @@ def test_cli_curriculum_smoke(tmp_path):
     r = _run_cli(*args)
     assert r.returncode == 0, r.stderr
     assert r.stdout.count("already done, skipping") == 6
+
+
+def test_cli_curriculum_stop_after(tmp_path):
+    """--stop-after: drivers interleave evals/evidence commits between legs
+    (tools/r3_run.sh); unknown leg names fail loudly before any training."""
+    out = str(tmp_path / "cur")
+    # pre-mark the first leg done so no training happens: the run must stop
+    # after it instead of continuing to B_dilated
+    os.makedirs(os.path.join(out, "A_shared"))
+    open(os.path.join(out, "A_shared", ".done"), "w").close()
+    r = _run_cli("--platform", "cpu", "curriculum", "robust_decode",
+                 "--out", out, "--synthetic-n", "16", "--batch-size", "4",
+                 "--audio-len", "512", "--smoke", "--stop-after", "A_shared")
+    assert r.returncode == 0, r.stderr
+    tail = json.loads(r.stdout[r.stdout.rindex('{\n  "recipe"'):])
+    assert list(tail["legs"]) == ["A_shared"]
+    assert not os.path.exists(os.path.join(out, "B_dilated"))
+
+    r = _run_cli("--platform", "cpu", "curriculum", "robust_decode",
+                 "--out", out, "--smoke", "--stop-after", "nope")
+    assert r.returncode != 0
+    assert "not a leg" in r.stderr
