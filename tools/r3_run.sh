@@ -31,6 +31,8 @@ run_leg() { # leg sections
         --stop-after "$leg" >> "$LOG" 2>&1
     mkdir -p "evidence/cur3/$leg"
     cp "$OUT/$leg/metrics.csv" "evidence/cur3/$leg/" 2>/dev/null || true
+    rm -rf "evidence/cur3/$leg/ckpt_best"
+    cp -r "$OUT/$leg/ckpt_best" "evidence/cur3/$leg/ckpt_best" 2>/dev/null || true
     if [ -n "$sections" ]; then
         python tools/demo_eval.py --ckpt "$OUT/$leg/ckpt_best" \
             --sections "$sections" \
@@ -47,7 +49,7 @@ run_leg() { # leg sections
 run_leg A_shared  ""
 run_leg B_dilated ""
 run_leg C_robust  "quality,robust"
-run_leg D_tighten "quality,robust"
-run_leg E_tighten "quality,robust,ecc,music,cross"
+run_leg D_tighten "quality,robust,variance"
+run_leg E_tighten "quality,robust,ecc,music,cross,variance"
 run_leg F_tighten "quality,robust,ecc,music,cross,variance"
 echo R3_RUN_DONE
