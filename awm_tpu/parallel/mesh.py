@@ -114,9 +114,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
 # devices.  Axis placement follows the bandwidth hierarchy: 'model'
 # (tensor-parallel embedding shards, per-lookup collectives) stays INSIDE a
 # host's ICI domain; 'data' (one gradient all-reduce per step) spans hosts,
-# so only the low-frequency collective ever rides DCN.  Untestable on this
-# single-chip image — the CPU-mesh tests below exercise the same code path
-# with n_processes=1, which JAX treats identically.
+# so only the low-frequency collective ever rides DCN.  Verified with TRUE
+# multi-process SPMD on this image: tools/multihost_drill.py runs the full
+# train step across 2 OS processes x 4 virtual CPU devices (jax.distributed
+# + Gloo collectives) and matches the single-process result
+# (tests/test_multihost.py, evidence/multihost/summary.json).
 
 
 def initialize_distributed(
