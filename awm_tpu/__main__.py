@@ -262,6 +262,7 @@ def cmd_train(args):
             quantize=True,
             resample_hz=rates if len(rates) > 1 else rates[0],
             attack_prob=args.attack_prob,
+            mulaw=args.mulaw,
             val_attacks=not args.clean_val,
         ))
     if args.data:
@@ -629,6 +630,10 @@ def main(argv=None):
                         "a comma list becomes a per-example curriculum.  Any "
                         "rational ratio works (polyphase, dsp.resample), e.g. "
                         "'8000,11025,22050'")
+    p.add_argument("--mulaw", action="store_true",
+                   help="add an 8-bit G.711 mu-law round trip to the "
+                        "--augment attack chain (telephony codec, "
+                        "dsp/codec.py — audioop-exact)")
     p.add_argument("--message-encoding", choices=("table", "bits"),
                    help="message pathway: 'table' = reference Embedding(2^16) "
                         "lookup; 'bits' = bit-compositional encoder (fixes "

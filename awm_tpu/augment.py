@@ -49,6 +49,9 @@ class AugmentConfig:
     # steep 101-tap windowed-sinc instead, closing that leak.
     lowpass_filter: str = "biquad"  # "biquad" | "fir"
     quantize: bool = False
+    # 8-bit G.711 mu-law round trip (dsp/codec.py, audioop-exact) — the
+    # telephony-codec training channel; like quantize, zero-gradient
+    mulaw: bool = False
     # One target rate, or a tuple sampled per example (resample CURRICULUM,
     # e.g. (8000, 11025, 22050)) — arbitrary rational ratios via the
     # polyphase resampler (dsp.resample), so non-integer round trips like
@@ -161,4 +164,9 @@ def apply_augment(x: jnp.ndarray, key: jax.Array, cfg: AugmentConfig) -> jnp.nda
     if cfg.quantize:
         key, k1 = jax.random.split(key)
         x = maybe(k1, quantize_int16(x), x)
+    if cfg.mulaw:
+        from awm_tpu.dsp import mulaw_roundtrip
+
+        key, k1 = jax.random.split(key)
+        x = maybe(k1, mulaw_roundtrip(x), x)
     return x

@@ -22,6 +22,14 @@ from awm_tpu.dsp.filters import (
     lowpass_biquad_coeffs,
 )
 from awm_tpu.dsp.metrics import si_snr, rms, power_ratio_db, quantize_int16
+from awm_tpu.dsp.codec import (
+    mulaw_encode,
+    mulaw_decode,
+    mulaw_roundtrip,
+    alaw_encode,
+    alaw_decode,
+    alaw_roundtrip,
+)
 from awm_tpu.dsp.quality import nsim_quality
 from awm_tpu.dsp.resample import resample_poly, resample_rational
 
@@ -43,6 +51,12 @@ __all__ = [
     "rms",
     "power_ratio_db",
     "quantize_int16",
+    "mulaw_encode",
+    "mulaw_decode",
+    "mulaw_roundtrip",
+    "alaw_encode",
+    "alaw_decode",
+    "alaw_roundtrip",
     "nsim_quality",
     "resample_poly",
     "resample_rational",

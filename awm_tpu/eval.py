@@ -408,18 +408,26 @@ def plot_roc(labels, probs, out_path: str) -> None:
 
 
 def default_attacks(sample_rate: int, *, seed: int = 0) -> Dict[str, callable]:
-    """The 10-channel attack matrix used across robustness evals (DEMO.md):
+    """The 12-channel attack matrix used across robustness evals (DEMO.md):
     identity, additive noise at 30/20 dB SNR, volume, biquad lowpass at
-    7/4 kHz, int16 quantize (ref channel sim: main15c.ipynb cell 4), and
+    7/4 kHz, int16 quantize (ref channel sim: main15c.ipynb cell 4),
     resample round trips at 8 kHz plus the NON-INTEGER ratios 22.05 kHz
     (441/320) and 11.025 kHz (441/640) via the polyphase resampler — the
     rates the reference's torchaudio I/O path handles implicitly
-    (ref: py/main14.py:726-727).  Independent key per stochastic attack —
-    sharing one key would test the same noise realization at both SNRs."""
+    (ref: py/main14.py:726-727) — and 8-bit G.711 telephony codecs (mu-law
+    and A-law, bit-exact vs stdlib audioop; dsp/codec.py), the realistic
+    codec channel the reference never evaluates.  Independent key per
+    stochastic attack — sharing one key would test the same noise
+    realization at both SNRs."""
     import jax
 
     from awm_tpu.augment import add_noise, resample_roundtrip
-    from awm_tpu.dsp import lowpass_biquad, quantize_int16
+    from awm_tpu.dsp import (
+        alaw_roundtrip,
+        lowpass_biquad,
+        mulaw_roundtrip,
+        quantize_int16,
+    )
 
     k30, k20 = jax.random.split(jax.random.key(seed))
     return {
@@ -433,6 +441,8 @@ def default_attacks(sample_rate: int, *, seed: int = 0) -> Dict[str, callable]:
         "resample_8k": lambda x: resample_roundtrip(x, 8000, sample_rate),
         "resample_22k": lambda x: resample_roundtrip(x, 22050, sample_rate),
         "resample_11k": lambda x: resample_roundtrip(x, 11025, sample_rate),
+        "mulaw_8bit": mulaw_roundtrip,
+        "alaw_8bit": alaw_roundtrip,
     }
 
 

@@ -238,3 +238,61 @@ def test_resample_rational_roundtrip_22k():
     hi = jnp.asarray(np.sin(2 * np.pi * 7000 * t).astype(np.float32))[None]
     out = np.asarray(resample_roundtrip(hi, 11025))
     assert np.sqrt((out**2).mean()) < 0.05
+
+
+def test_g711_codecs_bit_exact_vs_audioop():
+    """dsp/codec.py must match stdlib audioop (the canonical Sun/sox G.711
+    implementation) BYTE-FOR-BYTE on the full int16 domain, both laws, both
+    directions — the codec attack channel is a spec implementation, not an
+    approximation."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    pcm = np.arange(-32768, 32768, dtype=np.int16)
+    frag = pcm.tobytes()
+    codes = np.arange(256, dtype=np.uint8)
+
+    np.testing.assert_array_equal(
+        np.asarray(dsp.mulaw_encode(jnp.asarray(pcm))),
+        np.frombuffer(audioop.lin2ulaw(frag, 2), np.uint8),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dsp.mulaw_decode(jnp.asarray(codes))),
+        np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), "<i2"),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dsp.alaw_encode(jnp.asarray(pcm))),
+        np.frombuffer(audioop.lin2alaw(frag, 2), np.uint8),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dsp.alaw_decode(jnp.asarray(codes))),
+        np.frombuffer(audioop.alaw2lin(codes.tobytes(), 2), "<i2"),
+    )
+
+
+def test_g711_roundtrip_snr_and_jit():
+    """The float round trips behave like an 8-bit companding channel:
+    ~35 dB SNR on speech-level audio, level-robust (that is the point of
+    companding), jit-safe with static shapes."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    t = np.arange(16000) / 16000.0
+    x = (0.25 * np.sin(2 * np.pi * 440 * t)
+         + 0.02 * rng.standard_normal(16000)).astype(np.float32)[None]
+
+    for fn in (dsp.mulaw_roundtrip, dsp.alaw_roundtrip):
+        y = np.asarray(jax.jit(fn)(jnp.asarray(x)))
+        assert y.shape == x.shape and y.dtype == x.dtype
+        err = y - x
+        snr = 10 * np.log10((x**2).mean() / (err**2).mean())
+        assert 25.0 < snr < 45.0, (fn.__name__, snr)
+        # companding keeps SNR roughly level-independent (vs linear 8-bit,
+        # which would lose ~20 dB at 0.1x input level)
+        y2 = np.asarray(fn(jnp.asarray(x * 0.1)))
+        err2 = y2 - x * 0.1
+        snr2 = 10 * np.log10((x * 0.1).var() / (err2**2).mean())
+        assert abs(snr - snr2) < 8.0, (fn.__name__, snr, snr2)
