@@ -355,6 +355,19 @@ _CURRICULA = {
                            "--patience", "99", "--dec-bit-balance", "1.0",
                            "--loss-weights", "dec=10,loud=10,mel=2.0",
                            "--select-metric", "loc,dec"], True),
+            # round-4 imperceptibility push (VERDICT r3 item 2): blF3 was
+            # still improving when stopped at loud=8; keep the proven
+            # gradual schedule going past loud=10.  H also nudges loc so
+            # the detection margin (wm/clean probs) tightens with the
+            # budget rather than after it.
+            ("G_tighten", ["--decode-head", "dilated", "--epochs", "36",
+                           "--patience", "99", "--dec-bit-balance", "1.0",
+                           "--loss-weights", "dec=10,loud=13,mel=2.5",
+                           "--select-metric", "loc,dec"], True),
+            ("H_tighten", ["--decode-head", "dilated", "--epochs", "30",
+                           "--patience", "99", "--dec-bit-balance", "1.0",
+                           "--loss-weights", "dec=10,loud=16,mel=3.0,loc=14",
+                           "--select-metric", "loc,dec"], True),
         ],
     },
 }

@@ -6,6 +6,8 @@ image, so STFT parity is checked directly against torch.stft.  Filter and
 metric semantics are checked against scipy and hand-derived values.
 """
 
+import os
+
 import numpy as np
 import pytest
 import scipy.signal
@@ -240,16 +242,36 @@ def test_resample_rational_roundtrip_22k():
     assert np.sqrt((out**2).mean()) < 0.05
 
 
+def test_g711_codecs_bit_exact_vs_golden():
+    """dsp/codec.py must match audioop (the canonical Sun/sox G.711
+    implementation) BIT-FOR-BIT.  audioop was removed from the stdlib in
+    Python 3.13 (ADVICE r3), so the contract is frozen as golden vectors
+    (tests/golden/g711_audioop.npz, generated from this image's 3.12
+    audioop): full 256-code decode domain for both laws + 94 sampled pcm
+    encode values covering every segment boundary; this test runs on any
+    Python.  test_g711_codecs_bit_exact_vs_audioop below still checks the
+    FULL int16 encode domain when audioop is importable."""
+    g = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                             "g711_audioop.npz"))
+    np.testing.assert_array_equal(
+        np.asarray(dsp.mulaw_encode(jnp.asarray(g["pcm"]))), g["mu_enc"])
+    np.testing.assert_array_equal(
+        np.asarray(dsp.alaw_encode(jnp.asarray(g["pcm"]))), g["a_enc"])
+    codes = np.arange(256, dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(dsp.mulaw_decode(jnp.asarray(codes))), g["mu_dec"])
+    np.testing.assert_array_equal(
+        np.asarray(dsp.alaw_decode(jnp.asarray(codes))), g["a_dec"])
+
+
 def test_g711_codecs_bit_exact_vs_audioop():
-    """dsp/codec.py must match stdlib audioop (the canonical Sun/sox G.711
-    implementation) BYTE-FOR-BYTE on the full int16 domain, both laws, both
-    directions — the codec attack channel is a spec implementation, not an
-    approximation."""
+    """Full-int16-domain cross-check against stdlib audioop where it still
+    exists (<=3.12); the frozen-golden test above covers newer Pythons."""
     import warnings
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", DeprecationWarning)
-        import audioop
+        audioop = pytest.importorskip("audioop")
 
     pcm = np.arange(-32768, 32768, dtype=np.int16)
     frag = pcm.tobytes()

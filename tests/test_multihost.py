@@ -21,12 +21,19 @@ DRILL = os.path.join(REPO, "tools", "multihost_drill.py")
 def test_multihost_drill_two_processes():
     # fresh env: the parent re-sets XLA device-count flags per subprocess
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # outer timeout must exceed the drill's own worst case: (retries+1)
+    # attempts x 600 s per-child wait (ADVICE r3: 560 s could only ever fit
+    # one attempt and surfaced hangs as raw TimeoutExpired)
     out = subprocess.run(
         [sys.executable, DRILL],
-        capture_output=True, text=True, timeout=560, env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=1300, env=env, cwd=REPO,
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
-    summary = json.loads(out.stdout[out.stdout.index("{"):])
+    # a retried run prints one JSON object per attempt; the verdict is the
+    # LAST one (ADVICE r3: parsing from the first '{' raised 'Extra data')
+    summary = json.loads(out.stdout[out.stdout.rindex("\n{") + 1:]
+                         if "\n{" in out.stdout
+                         else out.stdout[out.stdout.index("{"):])
     assert summary["ok"], summary
     assert summary["checks"]["losses_identical_across_processes"]
     assert summary["checks"]["matches_single_process"]

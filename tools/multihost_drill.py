@@ -131,6 +131,24 @@ def run_worker(pid: int, nproc: int, port: int, out: str) -> None:
     mesh = make_global_mesh(model_parallel=2)
     assert dict(mesh.shape) == {"data": 4, "model": 2}, mesh.shape
 
+    # Warm-up barrier: establish every Gloo channel BEFORE the first real
+    # cross-process op.  Without this, channel setup happens lazily inside
+    # jax's device_put equality check and a connection-timing race failed
+    # ~1 in 3 cold runs (round-3 ADVICE/VERDICT).  The barrier itself gets
+    # a short localized retry so a slow peer only costs seconds, not a
+    # whole-drill rerun.
+    import time
+    from jax.experimental import multihost_utils
+
+    for i in range(3):
+        try:
+            multihost_utils.sync_global_devices("awm_drill_warmup")
+            break
+        except Exception:  # pragma: no cover - timing dependent
+            if i == 2:
+                raise
+            time.sleep(1.0 + i)
+
     cfg = _tiny_cfg()
     res = _two_steps(jax, tr.init_state(cfg, jax.random.key(0)), mesh)
     res.update(process_id=pid, process_count=n,
@@ -161,20 +179,29 @@ def _free_port() -> int:
 
 
 def run_parent(retries: int = 1) -> int:
-    """Launch ref + cluster, compare.  One retry absorbs the rare Gloo
-    connection-timing flake observed in jax's cross-process device_put
-    equality check (~1 in 3 cold runs); a real SPMD bug fails twice."""
+    """Launch ref + cluster, compare.  Prints exactly ONE summary JSON (the
+    final attempt's) to stdout; earlier failed attempts log to stderr only.
+
+    The round-3 Gloo connection-timing flake (~1 in 3 cold runs, surfacing
+    inside jax's cross-process device_put equality check) is fixed at the
+    source: workers now open all Gloo channels with an explicit barrier
+    right after jax.distributed init (see run_worker), before any real
+    collective.  The retry remains as a safety net for genuine transient
+    failures (port races etc.); a real SPMD bug still fails every attempt."""
+    rc, summary = 1, ""
     for attempt in range(retries + 1):
-        rc = _run_parent_once()
+        rc, summary = _run_parent_once()
         if rc == 0:
-            return 0
+            break
         if attempt < retries:
-            print(f"multihost_drill: attempt {attempt} failed, retrying",
-                  file=sys.stderr)
+            print(f"multihost_drill: attempt {attempt} failed, retrying\n"
+                  f"{summary}", file=sys.stderr)
+    print(summary)
     return rc
 
 
-def _run_parent_once() -> int:
+def _run_parent_once():
+    """One attempt; returns (rc, summary_json_str) without printing."""
     here = os.path.abspath(__file__)
     repo = os.path.dirname(os.path.dirname(here))
     env = dict(os.environ)
@@ -213,8 +240,7 @@ def _run_parent_once() -> int:
             if rc != 0:
                 fails.append(f"{name} exited {rc}")
         if fails:
-            print(json.dumps({"ok": False, "fails": fails}))
-            return 1
+            return 1, json.dumps({"ok": False, "fails": fails})
         ref = json.load(open(ref_out))
         ws = [json.load(open(o)) for o in outs]
 
@@ -253,8 +279,7 @@ def _run_parent_once() -> int:
                 "global_rows": ws[0]["table_global_rows"],
             },
         }
-        print(json.dumps(summary, indent=2))
-        return 0 if summary["ok"] else 1
+        return (0 if summary["ok"] else 1), json.dumps(summary, indent=2)
 
 
 def main() -> int:

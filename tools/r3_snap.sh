@@ -17,9 +17,17 @@ for d in runs/cur3/*/; do
     if ! diff -qr "$d/ckpt_best" "evidence/cur3/$leg/ckpt_best" >/dev/null 2>&1; then
         rm -rf "evidence/cur3/$leg/ckpt_best.tmp"
         cp -r "$d/ckpt_best" "evidence/cur3/$leg/ckpt_best.tmp"
-        rm -rf "evidence/cur3/$leg/ckpt_best"
-        mv "evidence/cur3/$leg/ckpt_best.tmp" "evidence/cur3/$leg/ckpt_best"
-        changed=1
+        # the live trainer may replace ckpt_best mid-copy (orbax swap);
+        # only promote the .tmp copy if the source is STILL identical to
+        # it — otherwise skip this round and catch it on the next snapshot
+        # (ADVICE r3: torn-checkpoint race)
+        if diff -qr "$d/ckpt_best" "evidence/cur3/$leg/ckpt_best.tmp" >/dev/null 2>&1; then
+            rm -rf "evidence/cur3/$leg/ckpt_best"
+            mv "evidence/cur3/$leg/ckpt_best.tmp" "evidence/cur3/$leg/ckpt_best"
+            changed=1
+        else
+            rm -rf "evidence/cur3/$leg/ckpt_best.tmp"
+        fi
     fi
     cp "$d/metrics.csv" "evidence/cur3/$leg/" 2>/dev/null || true
     if [ -f "$d/.done" ] && [ ! -f "evidence/cur3/$leg/.done" ]; then

@@ -1,0 +1,123 @@
+#!/bin/bash
+# r4_run: the round-4 TPU queue, crash-proof in the r3_run style.
+#
+# Order (VERDICT r3 "Next round"):
+#   0. wait for the in-flight tools/r3_run.sh (legs E/F) to finish; if it
+#      died early (VM restart / crash), restore + rerun it — idempotent.
+#   1. G_tighten, H_tighten: the imperceptibility push past blF3/F
+#      (item 2: RMS <=0.010, probs >=0.95/<=0.05, decode held).
+#   2. shapecap: fine-tune from the flagship with --shape-max-rms 0.010 —
+#      does decode survive a HARD cap (item 4)?
+#   3. seed-1 compressed curriculum for across-training-seed recipe
+#      stability (item 3).  --stop-after F_tighten: the committed recipe.
+#
+# Each leg commits metrics + ckpt_best + demo_eval into evidence/ before
+# the next starts, so a restart resumes from the last finished leg.
+set -e
+cd /root/repo
+OUT=runs/cur3
+LOG=runs/cur3.log
+mkdir -p "$OUT" evidence/cur3
+
+# --- 0. wait for r3_run.sh ------------------------------------------------
+while [ -f /tmp/r3run.pid ] && kill -0 "$(cat /tmp/r3run.pid)" 2>/dev/null; do
+    sleep 30
+done
+if [ ! -f evidence/cur3/F_tighten/.done ]; then
+    echo "r4_run: r3 arc incomplete, taking over"
+    bash tools/r3_restore.sh || true
+    bash tools/r3_run.sh >> runs/r3_run.log 2>&1 || true
+fi
+
+run_leg() { # leg sections   (curriculum legs continuing in runs/cur3)
+    local leg=$1 sections=$2
+    if [ -f "evidence/cur3/$leg/.done" ]; then
+        echo "r4_run: $leg already committed, skipping"
+        return 0
+    fi
+    python -m awm_tpu curriculum robust_decode --out "$OUT" \
+        --stop-after "$leg" >> "$LOG" 2>&1
+    mkdir -p "evidence/cur3/$leg"
+    cp "$OUT/$leg/metrics.csv" "evidence/cur3/$leg/" 2>/dev/null || true
+    # copy-to-tmp + verify + mv (ADVICE r3: never rm the committed ckpt
+    # before the replacement copy is known-good), and .done only on success
+    rm -rf "evidence/cur3/$leg/ckpt_best.tmp"
+    if cp -r "$OUT/$leg/ckpt_best" "evidence/cur3/$leg/ckpt_best.tmp"; then
+        rm -rf "evidence/cur3/$leg/ckpt_best"
+        mv "evidence/cur3/$leg/ckpt_best.tmp" "evidence/cur3/$leg/ckpt_best"
+    else
+        echo "r4_run: $leg ckpt copy FAILED, leg left un-done" >&2
+        return 1
+    fi
+    if [ -n "$sections" ]; then
+        python tools/demo_eval.py --ckpt "$OUT/$leg/ckpt_best" \
+            --sections "$sections" \
+            > "evidence/cur3/$leg/demo_eval.json" \
+            2> "evidence/cur3/$leg/demo_eval.err" || true
+    fi
+    touch "evidence/cur3/$leg/.done"
+    git add evidence/cur3 runs/cur3.log 2>/dev/null || true
+    git commit -q -m "cur3 flagship arc: leg $leg complete" || true
+    echo "r4_run: $leg committed"
+}
+
+# --- 1. imperceptibility push ----------------------------------------------
+run_leg G_tighten "quality,robust,ecc,music,cross,variance"
+run_leg H_tighten "quality,robust,ecc,music,cross,variance"
+
+# --- 2. hard-RMS-cap leg (from the flagship best) ---------------------------
+FLAG=runs/cur3/H_tighten/ckpt_best
+[ -d "$FLAG" ] || FLAG=runs/cur3/G_tighten/ckpt_best
+[ -d "$FLAG" ] || FLAG=runs/cur3/F_tighten/ckpt_best
+if [ ! -f evidence/shapecap/.done ]; then
+    mkdir -p runs/shapecap evidence/shapecap
+    python -m awm_tpu train \
+        --synthetic-n 24576 --batch-size 128 --music-frac 0.15 \
+        --message-encoding bits --dec-loss mean --delta-band-hz 3000 \
+        --decode-head dilated --epochs 16 --patience 99 \
+        --dec-bit-balance 1.0 --shape-max-rms 0.010 \
+        --loss-weights dec=10,loud=8,mel=1.75 --select-metric loc,dec \
+        --augment --attack-prob 0.45 --noise-snr 10,40 \
+        --lowpass-hz 3500,5000,7000 --resample-hz 8000,11025,22050 \
+        --init-from "$FLAG" \
+        --ckpt-dir runs/shapecap --log-csv runs/shapecap/metrics.csv \
+        > runs/shapecap/train.log 2>&1
+    cp runs/shapecap/metrics.csv evidence/shapecap/ 2>/dev/null || true
+    rm -rf evidence/shapecap/ckpt_best.tmp
+    if cp -r runs/shapecap/ckpt_best evidence/shapecap/ckpt_best.tmp; then
+        rm -rf evidence/shapecap/ckpt_best
+        mv evidence/shapecap/ckpt_best.tmp evidence/shapecap/ckpt_best
+    fi
+    python tools/demo_eval.py --ckpt runs/shapecap/ckpt_best \
+        --sections quality,robust \
+        > evidence/shapecap/demo_eval.json \
+        2> evidence/shapecap/demo_eval.err || true
+    touch evidence/shapecap/.done
+    git add evidence/shapecap && git commit -q -m "shapecap leg: hard RMS cap 0.010 fine-tune + eval" || true
+    echo "r4_run: shapecap committed"
+fi
+
+# --- 3. seed-1 compressed curriculum ----------------------------------------
+if [ ! -f evidence/cur_s1/.done ]; then
+    mkdir -p runs/cur_s1 evidence/cur_s1
+    python -m awm_tpu curriculum robust_decode --out runs/cur_s1 --seed 1 \
+        --epochs-scale 0.35 --stop-after F_tighten \
+        > runs/cur_s1.json 2> runs/cur_s1.err || true
+    for leg in runs/cur_s1/*/; do
+        cp "$leg/metrics.csv" "evidence/cur_s1/$(basename "$leg")_metrics.csv" 2>/dev/null || true
+    done
+    python tools/demo_eval.py --ckpt runs/cur_s1/F_tighten/ckpt_best \
+        --sections quality,robust \
+        > evidence/cur_s1/demo_eval.json \
+        2> evidence/cur_s1/demo_eval.err || true
+    rm -rf evidence/cur_s1/ckpt_best.tmp
+    if cp -r runs/cur_s1/F_tighten/ckpt_best evidence/cur_s1/ckpt_best.tmp; then
+        rm -rf evidence/cur_s1/ckpt_best
+        mv evidence/cur_s1/ckpt_best.tmp evidence/cur_s1/ckpt_best
+    fi
+    touch evidence/cur_s1/.done
+    git add evidence/cur_s1 && git commit -q -m "seed-1 compressed curriculum: recipe stability evidence" || true
+    echo "r4_run: cur_s1 committed"
+fi
+
+echo R4_RUN_DONE
