@@ -320,6 +320,15 @@ _CURRICULA = {
     # Placement of --dec-bit-balance is measured, not stylistic: balance
     # during the ROBUST leg collapses decode to ~0.54 (evidence/arc3C);
     # balance during tighten legs revives dead bit channels (blB/blF3).
+    # SEQUENCING within the tighten stage is also measured: turning balance
+    # on SIMULTANEOUSLY with the first post-robust budget step wedges decode
+    # in winner-take-all collapse (arc3b leg D2 AND cur3 leg D_tighten both
+    # landed ~0.64 with 4 live / 12 dead bit channels, evidence/cur3 +
+    # tools/bit_diagnostic.py), where the split order — budget step WITHOUT
+    # balance (blT: 0.66->0.76), then balance AT THE HELD budget (blB:
+    # ->0.85 all 16 live) — succeeded.  Once one balance leg has flattened
+    # the per-bit profile, budget and balance can co-move (blF3: loud 6->8
+    # with balance held -> 0.93).  Hence D2_budget / E2_balance below.
     "robust_decode": {
         "common": ["--message-encoding", "bits", "--dec-loss", "mean",
                    "--delta-band-hz", "3000"],
@@ -341,33 +350,36 @@ _CURRICULA = {
                           "--patience", "99",
                           "--loss-weights", "dec=10,loud=3,mel=1",
                           "--select-metric", "loc,dec"], True),
-            # gradual re-tighten with balance (one-shot re-tightening
-            # collapses decode to chance: evidence/blR vs blT/blF3)
-            ("D_tighten", ["--decode-head", "dilated", "--epochs", "26",
-                           "--patience", "99", "--dec-bit-balance", "1.0",
+            # first post-robust budget step, NO balance (blT replica: the
+            # fused budget+balance leg wedged twice, see note above)
+            ("D2_budget", ["--decode-head", "dilated", "--epochs", "28",
+                           "--patience", "99",
                            "--loss-weights", "dec=10,loud=6,mel=1.5",
                            "--select-metric", "loc,dec"], True),
-            ("E_tighten", ["--decode-head", "dilated", "--epochs", "40",
-                           "--patience", "99", "--dec-bit-balance", "1.0",
-                           "--loss-weights", "dec=10,loud=8,mel=1.75",
-                           "--select-metric", "loc,dec"], True),
-            ("F_tighten", ["--decode-head", "dilated", "--epochs", "30",
-                           "--patience", "99", "--dec-bit-balance", "1.0",
-                           "--loss-weights", "dec=10,loud=10,mel=2.0",
-                           "--select-metric", "loc,dec"], True),
-            # round-4 imperceptibility push (VERDICT r3 item 2): blF3 was
-            # still improving when stopped at loud=8; keep the proven
-            # gradual schedule going past loud=10.  H also nudges loc so
-            # the detection margin (wm/clean probs) tightens with the
-            # budget rather than after it.
-            ("G_tighten", ["--decode-head", "dilated", "--epochs", "36",
-                           "--patience", "99", "--dec-bit-balance", "1.0",
-                           "--loss-weights", "dec=10,loud=13,mel=2.5",
-                           "--select-metric", "loc,dec"], True),
-            ("H_tighten", ["--decode-head", "dilated", "--epochs", "30",
-                           "--patience", "99", "--dec-bit-balance", "1.0",
-                           "--loss-weights", "dec=10,loud=16,mel=3.0,loc=14",
-                           "--select-metric", "loc,dec"], True),
+            # balance turned on AT THE HELD budget (blB replica: revives
+            # all 16 bit channels, 0.76 -> 0.85)
+            ("E2_balance", ["--decode-head", "dilated", "--epochs", "30",
+                            "--patience", "99", "--dec-bit-balance", "1.0",
+                            "--loss-weights", "dec=10,loud=6,mel=1.5",
+                            "--select-metric", "loc,dec"], True),
+            # gradual re-tighten with balance held (blF3: first improvement
+            # at epoch 28/40 — patience is load-bearing; -> decode 0.93)
+            ("F2_tighten", ["--decode-head", "dilated", "--epochs", "40",
+                            "--patience", "99", "--dec-bit-balance", "1.0",
+                            "--loss-weights", "dec=10,loud=8,mel=1.75",
+                            "--select-metric", "loc,dec"], True),
+            # imperceptibility push (VERDICT r3 item 2): blF3 was still
+            # improving when stopped at loud=8; keep the proven gradual
+            # schedule going.  H2 also nudges loc so the detection margin
+            # tightens with the budget rather than after it.
+            ("G2_tighten", ["--decode-head", "dilated", "--epochs", "30",
+                            "--patience", "99", "--dec-bit-balance", "1.0",
+                            "--loss-weights", "dec=10,loud=10,mel=2.0",
+                            "--select-metric", "loc,dec"], True),
+            ("H2_tighten", ["--decode-head", "dilated", "--epochs", "30",
+                            "--patience", "99", "--dec-bit-balance", "1.0",
+                            "--loss-weights", "dec=10,loud=13,mel=2.5,loc=14",
+                            "--select-metric", "loc,dec"], True),
         ],
     },
 }

@@ -384,20 +384,21 @@ def test_cli_curriculum_smoke(tmp_path):
     assert r.returncode == 0, r.stderr
     tail = json.loads(r.stdout[r.stdout.rindex('{\n  "recipe"'):])
     assert list(tail["legs"]) == ["A_shared", "B_dilated", "C_robust",
-                                  "D_tighten", "E_tighten", "F_tighten"]
+                                  "D2_budget", "E2_balance", "F2_tighten",
+                                  "G2_tighten", "H2_tighten"]
     for name in tail["legs"]:
         assert os.path.isdir(os.path.join(out, name, "ckpt_best")), name
         assert os.path.isfile(os.path.join(out, name, ".done")), name
-    assert tail["final_ckpt"] == os.path.join(out, "F_tighten", "ckpt_best")
+    assert tail["final_ckpt"] == os.path.join(out, "H2_tighten", "ckpt_best")
     # the final leg's checkpoint is the full decode arch (sidecar says so)
-    arch = json.load(open(os.path.join(out, "F_tighten", "ckpt_best",
+    arch = json.load(open(os.path.join(out, "H2_tighten", "ckpt_best",
                                        "awm_arch.json")))
     assert arch["decode_head"] == "dilated"
     assert arch["message_encoding"] == "bits"
     # re-run: every leg skips
     r = _run_cli(*args)
     assert r.returncode == 0, r.stderr
-    assert r.stdout.count("already done, skipping") == 6
+    assert r.stdout.count("already done, skipping") == 8
 
 
 def test_cli_curriculum_stop_after(tmp_path):

@@ -40,7 +40,7 @@ python -m awm_tpu curriculum robust_decode --out runs/cur_s1 --seed 1 \
     --epochs-scale 0.35 \
     > runs/cur_s1.json 2> runs/cur_s1.err || true
 touch runs/cur_s1/.done
-python tools/demo_eval.py --ckpt runs/cur_s1/F_tighten/ckpt_best \
+python tools/demo_eval.py --ckpt runs/cur_s1/F2_tighten/ckpt_best \
     --sections quality,robust \
     > runs/cur_s1/demo_eval.json 2> runs/cur_s1/demo_eval.err || true
 fi

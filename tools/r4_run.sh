@@ -1,33 +1,31 @@
 #!/bin/bash
 # r4_run: the round-4 TPU queue, crash-proof in the r3_run style.
 #
-# Order (VERDICT r3 "Next round"):
-#   0. wait for the in-flight tools/r3_run.sh (legs E/F) to finish; if it
-#      died early (VM restart / crash), restore + rerun it — idempotent.
-#   1. G_tighten, H_tighten: the imperceptibility push past blF3/F
-#      (item 2: RMS <=0.010, probs >=0.95/<=0.05, decode held).
-#   2. shapecap: fine-tune from the flagship with --shape-max-rms 0.010 —
-#      does decode survive a HARD cap (item 4)?
-#   3. seed-1 compressed curriculum for across-training-seed recipe
-#      stability (item 3).  --stop-after F_tighten: the committed recipe.
+# Round-3's fused "tighten+balance" leg (cur3 D_tighten, and arc3b D2
+# before it) wedged decode at ~0.64 in winner-take-all collapse (4 live /
+# 12 dead bit channels — evidence/cur3/*/per_bit*.txt).  The measured
+# blR2->blT->blB->blF3 micro-order (budget step WITHOUT balance, then
+# balance AT THE HELD budget, then patient tighten) reached 0.93.  The
+# recipe now encodes that order (awm_tpu/__main__.py _CURRICULA); this
+# driver resumes the cur3 arc from the committed C_robust checkpoint:
 #
-# Each leg commits metrics + ckpt_best + demo_eval into evidence/ before
-# the next starts, so a restart resumes from the last finished leg.
+#   D2_budget   loud=6, NO balance          (blT replica: 0.66 -> ~0.76)
+#   E2_balance  loud=6 + balance            (blB replica: -> ~0.85, 16 live)
+#   F2_tighten  loud=8, patient 40          (blF3 replica: -> ~0.93)
+#   G2_tighten  loud=10                     (imperceptibility push, VERDICT 2)
+#   H2_tighten  loud=13 + loc=14            (stretch)
+#   shapecap    hard --shape-max-rms 0.010  (VERDICT item 4)
+#   cur_s1      seed-1 compressed recipe    (VERDICT item 3)
+#
+# Each leg commits metrics + ckpt_best + demo_eval + per-bit diagnostic
+# into evidence/ before the next starts, so a restart resumes from the
+# last finished leg.
 set -e
 cd /root/repo
 OUT=runs/cur3
 LOG=runs/cur3.log
 mkdir -p "$OUT" evidence/cur3
-
-# --- 0. wait for r3_run.sh ------------------------------------------------
-while [ -f /tmp/r3run.pid ] && kill -0 "$(cat /tmp/r3run.pid)" 2>/dev/null; do
-    sleep 30
-done
-if [ ! -f evidence/cur3/F_tighten/.done ]; then
-    echo "r4_run: r3 arc incomplete, taking over"
-    bash tools/r3_restore.sh || true
-    bash tools/r3_run.sh >> runs/r3_run.log 2>&1 || true
-fi
+bash tools/r3_restore.sh || true
 
 run_leg() { # leg sections   (curriculum legs continuing in runs/cur3)
     local leg=$1 sections=$2
@@ -55,20 +53,27 @@ run_leg() { # leg sections   (curriculum legs continuing in runs/cur3)
             > "evidence/cur3/$leg/demo_eval.json" \
             2> "evidence/cur3/$leg/demo_eval.err" || true
     fi
+    # per-bit decode profile (CPU; the collapse-vs-uniform diagnostic)
+    timeout 1800 python tools/bit_diagnostic.py --platform cpu \
+        --ckpt "$OUT/$leg/ckpt_best" \
+        > "evidence/cur3/$leg/per_bit.txt" 2>/dev/null || true
     touch "evidence/cur3/$leg/.done"
-    git add evidence/cur3 runs/cur3.log 2>/dev/null || true
+    git add evidence/cur3 2>/dev/null || true
     git commit -q -m "cur3 flagship arc: leg $leg complete" || true
     echo "r4_run: $leg committed"
 }
 
-# --- 1. imperceptibility push ----------------------------------------------
-run_leg G_tighten "quality,robust,ecc,music,cross,variance"
-run_leg H_tighten "quality,robust,ecc,music,cross,variance"
+# --- 1. the corrected decode arc + imperceptibility push --------------------
+run_leg D2_budget  "quality,robust"
+run_leg E2_balance "quality,robust"
+run_leg F2_tighten "quality,robust,ecc,music,cross,variance"
+run_leg G2_tighten "quality,robust,ecc,music,cross,variance"
+run_leg H2_tighten "quality,robust,ecc,music,cross,variance"
 
 # --- 2. hard-RMS-cap leg (from the flagship best) ---------------------------
-FLAG=runs/cur3/H_tighten/ckpt_best
-[ -d "$FLAG" ] || FLAG=runs/cur3/G_tighten/ckpt_best
-[ -d "$FLAG" ] || FLAG=runs/cur3/F_tighten/ckpt_best
+FLAG=runs/cur3/H2_tighten/ckpt_best
+[ -d "$FLAG" ] || FLAG=runs/cur3/G2_tighten/ckpt_best
+[ -d "$FLAG" ] || FLAG=runs/cur3/F2_tighten/ckpt_best
 if [ ! -f evidence/shapecap/.done ]; then
     mkdir -p runs/shapecap evidence/shapecap
     python -m awm_tpu train \
@@ -101,17 +106,17 @@ fi
 if [ ! -f evidence/cur_s1/.done ]; then
     mkdir -p runs/cur_s1 evidence/cur_s1
     python -m awm_tpu curriculum robust_decode --out runs/cur_s1 --seed 1 \
-        --epochs-scale 0.35 --stop-after F_tighten \
+        --epochs-scale 0.35 --stop-after F2_tighten \
         > runs/cur_s1.json 2> runs/cur_s1.err || true
     for leg in runs/cur_s1/*/; do
         cp "$leg/metrics.csv" "evidence/cur_s1/$(basename "$leg")_metrics.csv" 2>/dev/null || true
     done
-    python tools/demo_eval.py --ckpt runs/cur_s1/F_tighten/ckpt_best \
+    python tools/demo_eval.py --ckpt runs/cur_s1/F2_tighten/ckpt_best \
         --sections quality,robust \
         > evidence/cur_s1/demo_eval.json \
         2> evidence/cur_s1/demo_eval.err || true
     rm -rf evidence/cur_s1/ckpt_best.tmp
-    if cp -r runs/cur_s1/F_tighten/ckpt_best evidence/cur_s1/ckpt_best.tmp; then
+    if cp -r runs/cur_s1/F2_tighten/ckpt_best evidence/cur_s1/ckpt_best.tmp; then
         rm -rf evidence/cur_s1/ckpt_best
         mv evidence/cur_s1/ckpt_best.tmp evidence/cur_s1/ckpt_best
     fi
