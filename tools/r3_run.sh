@@ -1,6 +1,12 @@
 #!/bin/bash
 # r3_run: the round-3 flagship arc as a crash-proof driver.
 #
+# HISTORICAL (round 4+): superseded by tools/r4_run.sh.  The fused
+# D/E/F_tighten legs this driver ran wedged decode in winner-take-all
+# collapse (evidence/cur3/D_tighten, E_tighten per_bit.txt); the recipe
+# now uses the split budget-then-balance order (D2_budget..H2_tighten),
+# so the leg names below no longer exist in `curriculum robust_decode`.
+#
 # Round 3's first VM restart wiped runs/ (gitignored) and with it every
 # checkpoint of the arc3/arc3b legs — ~8 h of TPU time.  This driver runs
 # the ONE canonical recipe (`awm_tpu curriculum robust_decode`) leg by leg
@@ -31,8 +37,16 @@ run_leg() { # leg sections
         --stop-after "$leg" >> "$LOG" 2>&1
     mkdir -p "evidence/cur3/$leg"
     cp "$OUT/$leg/metrics.csv" "evidence/cur3/$leg/" 2>/dev/null || true
-    rm -rf "evidence/cur3/$leg/ckpt_best"
-    cp -r "$OUT/$leg/ckpt_best" "evidence/cur3/$leg/ckpt_best" 2>/dev/null || true
+    # copy-to-tmp + mv (ADVICE r3: never rm the committed ckpt before the
+    # replacement copy is known-good); .done only on success
+    rm -rf "evidence/cur3/$leg/ckpt_best.tmp"
+    if cp -r "$OUT/$leg/ckpt_best" "evidence/cur3/$leg/ckpt_best.tmp"; then
+        rm -rf "evidence/cur3/$leg/ckpt_best"
+        mv "evidence/cur3/$leg/ckpt_best.tmp" "evidence/cur3/$leg/ckpt_best"
+    else
+        echo "r3_run: $leg ckpt copy FAILED, leg left un-done" >&2
+        return 1
+    fi
     if [ -n "$sections" ]; then
         python tools/demo_eval.py --ckpt "$OUT/$leg/ckpt_best" \
             --sections "$sections" \
