@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--audio-len", type=int, default=None,
+                    help="override chunk length in samples (tests use short "
+                         "chunks; production checkpoints are 16000)")
     ap.add_argument("--attack", default=None,
                     help="apply a named channel attack to the watermarked "
                          "audio before detection (names from "
@@ -56,6 +59,8 @@ def main():
     from awm_tpu.data import SyntheticClips, split_indices
 
     cfg = get_config(args.preset)
+    if args.audio_len:
+        cfg = dataclasses.replace(cfg, audio_len=args.audio_len)
     arch = ck.read_arch(args.ckpt)
     if arch is not None:
         known = {f.name for f in dataclasses.fields(ModelConfig)}
