@@ -25,6 +25,12 @@ cd /root/repo
 OUT=runs/cur3
 LOG=runs/cur3.log
 mkdir -p "$OUT" evidence/cur3
+# The chip is single-tenant AND curriculum leg-skip decisions are made
+# from .done markers BEFORE device acquisition — starting while an
+# orphaned trainer is still mid-leg would re-train that leg.  Wait
+# (detection only; never kill by pattern) until no foreign awm_tpu
+# process is alive.
+while pgrep -f "python -m awm_tpu" >/dev/null 2>&1; do sleep 30; done
 bash tools/r3_restore.sh || true
 
 bitdiag_bg() { # ckpt out_txt — per-bit decode profile on CPU, backgrounded
