@@ -95,9 +95,44 @@ def _bench_train(cfg, gen, det, state) -> float:
     return batch / dt
 
 
+def _wait_for_exclusive_chip(max_wait_s: float = 2700.0) -> None:
+    """Block (bounded) while any other awm_tpu process is alive.
+
+    The chip is single-tenant; benchmarking next to a live trainer measures
+    contention, not the framework (BENCH_r04's detect-only read 18.7k vs the
+    27.0k it re-measures clean — the r4 'regression' was exactly this).
+    Detection only, via /proc cmdline scan: never kills anything."""
+    import os
+    import sys
+
+    me = os.getpid()
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        busy = []
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ")
+            except OSError:
+                continue
+            if b"awm_tpu" in cmd and b"bench.py" not in cmd:
+                busy.append(pid)
+        if not busy:
+            return
+        print(f"bench: waiting for awm_tpu process(es) {busy} to release the "
+              f"chip ({int(deadline - time.time())}s left)", file=sys.stderr)
+        time.sleep(30)
+    print("bench: proceeding despite a live awm_tpu process — numbers may "
+          "reflect chip contention", file=sys.stderr)
+
+
 def main():
     from awm_tpu.config import get_config
     from awm_tpu import train as tr
+
+    _wait_for_exclusive_chip()
 
     cfg = get_config("base")  # bf16 mixed-precision training by default
     state, gen, det = tr.init_state(cfg, jax.random.key(0))

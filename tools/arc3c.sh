@@ -37,7 +37,7 @@ fi
 if [ ! -e runs/cur_s1/.done ]; then
 mkdir -p runs/cur_s1
 python -m awm_tpu curriculum robust_decode --out runs/cur_s1 --seed 1 \
-    --epochs-scale 0.35 \
+    --epochs-scale 0.35 --stop-after F2_tighten \
     > runs/cur_s1.json 2> runs/cur_s1.err || true
 touch runs/cur_s1/.done
 python tools/demo_eval.py --ckpt runs/cur_s1/F2_tighten/ckpt_best \

@@ -1,4 +1,10 @@
 #!/bin/bash
+# HISTORICAL (round 5+): superseded by tools/r4b_run.sh (reordered queue,
+# orphan-trainer wait) and then tools/r5_run.sh.  Do NOT run: it shares
+# runs/cur3 + evidence/cur3 state with r4b under a DIFFERENT queue order
+# and lacks the orphan-trainer wait, so running it alongside/after r4b
+# risks a second process contending for the single-tenant chip (ADVICE r4).
+#
 # r4_run: the round-4 TPU queue, crash-proof in the r3_run style.
 #
 # Round-3's fused "tighten+balance" leg (cur3 D_tighten, and arc3b D2

@@ -1,4 +1,10 @@
 #!/bin/bash
+# HISTORICAL (round 5+): superseded by tools/r5_run.sh after the D2/E2 legs
+# failed to replicate the blT/blB targets (VERDICT r4 weak #1; diagnosis and
+# corrected arc live in r5_run.sh).  Known flaw kept for the record: the
+# backgrounded bit_diagnostic raced the leg commit, so per_bit.txt could be
+# committed empty (ADVICE r4 medium — fixed in r5_run's tmp+mv+wait scheme).
+#
 # r4b_run: the rebalanced round-4 TPU queue (supersedes tools/r4_run.sh).
 #
 # Same crash-proof structure (each leg commits metrics + ckpt_best +
