@@ -138,17 +138,17 @@ echo "r5_run: winner = $WINNER"
 # --- Phase 3/4: winner continuation -> flagship tighten ----------------------
 case "$WINNER" in
   P3_relax)
-    run_leg L_relax  24 evidence/r5/P3_relax/ckpt_best 5400 $CURENV $W3 --dec-bit-balance 1.0 || true
-    run_leg M_budget 16 evidence/r5/L_relax/ckpt_best  4200 $CURENV $W6 --dec-bit-balance 1.0 || true
-    run_leg T_flagship 28 evidence/r5/M_budget/ckpt_best 6000 $CURENV $W8 --dec-bit-balance 1.0 || true
+    run_leg L_relax  24 evidence/r5/P3_relax/ckpt_best 2400 $CURENV $W3 --dec-bit-balance 1.0 || true
+    run_leg M_budget 16 evidence/r5/L_relax/ckpt_best  2400 $CURENV $W6 --dec-bit-balance 1.0 || true
+    run_leg T_flagship 28 evidence/r5/M_budget/ckpt_best 2400 $CURENV $W8 --dec-bit-balance 1.0 || true
     ;;
   P2_bal2)
-    run_leg L_long   26 evidence/r5/P2_bal2/ckpt_best  5700 $CURENV $W6 --dec-bit-balance 2.0 || true
-    run_leg T_flagship 36 evidence/r5/L_long/ckpt_best 7500 $CURENV $W8 --dec-bit-balance 2.0 || true
+    run_leg L_long   26 evidence/r5/P2_bal2/ckpt_best  2400 $CURENV $W6 --dec-bit-balance 2.0 || true
+    run_leg T_flagship 36 evidence/r5/L_long/ckpt_best 2400 $CURENV $W8 --dec-bit-balance 2.0 || true
     ;;
   *)  # P1_blenv (default)
-    run_leg L_long   26 evidence/r5/P1_blenv/ckpt_best 5700 $BLENV $W6 --dec-bit-balance 1.0 || true
-    run_leg T_flagship 36 evidence/r5/L_long/ckpt_best 7500 $BLENV $W8 --dec-bit-balance 1.0 || true
+    run_leg L_long   26 evidence/r5/P1_blenv/ckpt_best 2400 $BLENV $W6 --dec-bit-balance 1.0 || true
+    run_leg T_flagship 36 evidence/r5/L_long/ckpt_best 2400 $BLENV $W8 --dec-bit-balance 1.0 || true
     ;;
 esac
 
