@@ -309,13 +309,18 @@ def cmd_train(args):
                       "stopped_early": out["stopped_early"]}, indent=2))
 
 
-# Staged training recipes as data: leg name -> (extra train argv, robust?).
+# Staged training recipes as data: leg name -> (extra train argv, robust?,
+# env-override argv appended LAST so it wins argparse's last-occurrence rule).
 # The reference trains in one stage (ref: py/main14.py:432-452) but its
 # message decode lands at chance (bit acc 0.5009, main14.ipynb cell 11,
 # BASELINE.md); the measured fix is a staged-head curriculum (DEMO.md
 # "Message decode" / "Band-limited carrier").  The 2-leg simplification was
 # probed and failed (evidence/blS2* — the co-trained-dilated-head ceiling),
 # so the minimal recipe stays 4 legs; this command makes it ONE command.
+# The measured round-5 environment override for balance/tighten legs (the
+# blB/blF3 lineage environment; see the comment inside robust_decode).
+_BL_ENV = ["--music-frac", "0.0", "--resample-hz", "8000"]
+
 _CURRICULA = {
     # Placement of --dec-bit-balance is measured, not stylistic: balance
     # during the ROBUST leg collapses decode to ~0.54 (evidence/arc3C);
@@ -329,6 +334,18 @@ _CURRICULA = {
     # ->0.85 all 16 live) — succeeded.  Once one balance leg has flattened
     # the per-bit profile, budget and balance can co-move (blF3: loud 6->8
     # with balance held -> 0.93).  Hence D2_budget / E2_balance below.
+    # ENVIRONMENT of the balance/tighten legs is measured too (round-5
+    # probe matrix, evidence/r5/winner.json): with the 15% music mix and
+    # the 3-rate resample attack active, balance CANNOT revive dead bit
+    # channels — neither stronger balance (2.0 -> 0.674) nor relaxed-budget
+    # placement (-> 0.665) helps, while the same wedged checkpoint returned
+    # to the music-free single-rate-resample environment revives within 12
+    # epochs (0.675 -> 0.747, dead-channel |logit| lifting 0.1-0.3 ->
+    # 0.4-1.3).  The channel-sim diversity that detection training wants
+    # starves weak bit carriers of gradient, so the E2+ legs override the
+    # environment back to the bl configuration; C/D2 keep the full
+    # environment (balance-free detection training was proven there:
+    # 12/12 channels at 1.00/0.00, evidence/cur3/D_tighten).
     "robust_decode": {
         "common": ["--message-encoding", "bits", "--dec-loss", "mean",
                    "--delta-band-hz", "3000"],
@@ -339,35 +356,35 @@ _CURRICULA = {
             # clean scratch, SHARED decode head, relaxed perceptual budget
             ("A_shared", ["--epochs", "22", "--patience", "6",
                           "--loss-weights", "dec=10,loud=3,mel=1",
-                          "--select-metric", "dec"], False),
+                          "--select-metric", "dec"], False, []),
             # dilated head added FRESH (restore_params keeps init for new leaves)
             ("B_dilated", ["--decode-head", "dilated", "--epochs", "18",
                            "--patience", "6",
                            "--loss-weights", "dec=10,loud=3,mel=1",
-                           "--select-metric", "dec"], False),
+                           "--select-metric", "dec"], False, []),
             # channel-attack curriculum, budget HELD, NO balance (blR2 leg)
             ("C_robust", ["--decode-head", "dilated", "--epochs", "26",
                           "--patience", "99",
                           "--loss-weights", "dec=10,loud=3,mel=1",
-                          "--select-metric", "loc,dec"], True),
+                          "--select-metric", "loc,dec"], True, []),
             # first post-robust budget step, NO balance (blT replica: the
             # fused budget+balance leg wedged twice, see note above)
             ("D2_budget", ["--decode-head", "dilated", "--epochs", "28",
                            "--patience", "99",
                            "--loss-weights", "dec=10,loud=6,mel=1.5",
-                           "--select-metric", "loc,dec"], True),
+                           "--select-metric", "loc,dec"], True, []),
             # balance turned on AT THE HELD budget (blB replica: revives
             # all 16 bit channels, 0.76 -> 0.85)
             ("E2_balance", ["--decode-head", "dilated", "--epochs", "30",
                             "--patience", "99", "--dec-bit-balance", "1.0",
                             "--loss-weights", "dec=10,loud=6,mel=1.5",
-                            "--select-metric", "loc,dec"], True),
+                            "--select-metric", "loc,dec"], True, _BL_ENV),
             # gradual re-tighten with balance held (blF3: first improvement
             # at epoch 28/40 — patience is load-bearing; -> decode 0.93)
             ("F2_tighten", ["--decode-head", "dilated", "--epochs", "40",
                             "--patience", "99", "--dec-bit-balance", "1.0",
                             "--loss-weights", "dec=10,loud=8,mel=1.75",
-                            "--select-metric", "loc,dec"], True),
+                            "--select-metric", "loc,dec"], True, _BL_ENV),
             # imperceptibility push (VERDICT r3 item 2): blF3 was still
             # improving when stopped at loud=8; keep the proven gradual
             # schedule going.  H2 also nudges loc so the detection margin
@@ -375,11 +392,11 @@ _CURRICULA = {
             ("G2_tighten", ["--decode-head", "dilated", "--epochs", "30",
                             "--patience", "99", "--dec-bit-balance", "1.0",
                             "--loss-weights", "dec=10,loud=10,mel=2.0",
-                            "--select-metric", "loc,dec"], True),
+                            "--select-metric", "loc,dec"], True, _BL_ENV),
             ("H2_tighten", ["--decode-head", "dilated", "--epochs", "30",
                             "--patience", "99", "--dec-bit-balance", "1.0",
                             "--loss-weights", "dec=10,loud=13,mel=2.5,loc=14",
-                            "--select-metric", "loc,dec"], True),
+                            "--select-metric", "loc,dec"], True, _BL_ENV),
         ],
     },
 }
@@ -392,7 +409,7 @@ def cmd_curriculum(args):
     import os
 
     rec = _CURRICULA[args.recipe]
-    leg_names = [n for n, _, _ in rec["legs"]]
+    leg_names = [n for n, *_ in rec["legs"]]
     if args.stop_after and args.stop_after not in leg_names:
         raise SystemExit(
             f"--stop-after {args.stop_after!r} is not a leg of "
@@ -409,7 +426,7 @@ def cmd_curriculum(args):
 
     prev = args.init_from
     legs_out = {}
-    for name, leg, robust in rec["legs"]:
+    for name, leg, robust, env_override in rec["legs"]:
         d = os.path.join(args.out, name)
         marker = os.path.join(d, ".done")
         if os.path.isfile(marker):
@@ -430,6 +447,7 @@ def cmd_curriculum(args):
         argv = (["--platform", args.platform] if args.platform else [])
         argv += ["train"] + rec["common"] + shared + leg
         argv += rec["robust"] if robust else []
+        argv += env_override  # last occurrence wins in argparse
         if prev:
             argv += ["--init-from", prev]
         argv += ["--ckpt-dir", d, "--log-csv", os.path.join(d, "metrics.csv")]

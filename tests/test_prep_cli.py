@@ -390,6 +390,20 @@ def test_cli_curriculum_smoke(tmp_path):
         assert os.path.isdir(os.path.join(out, name, "ckpt_best")), name
         assert os.path.isfile(os.path.join(out, name, ".done")), name
     assert tail["final_ckpt"] == os.path.join(out, "H2_tighten", "ckpt_best")
+    # balance/tighten legs override the environment back to the bl
+    # configuration (round-5 probe matrix: music mix + 3-rate resample
+    # starve weak bit carriers; evidence/r5/winner.json) — the override is
+    # appended last so it wins argparse's last-occurrence rule
+    e2_cmd = [l for l in r.stdout.splitlines()
+              if l.startswith("== curriculum leg E2_balance:")][0]
+    assert e2_cmd.rstrip().endswith("metrics.csv")
+    assert "--music-frac 0.25" in e2_cmd and "--music-frac 0.0" in e2_cmd
+    assert e2_cmd.index("--music-frac 0.25") < e2_cmd.index("--music-frac 0.0")
+    assert "--resample-hz 8000,11025,22050" in e2_cmd
+    assert e2_cmd.index("22050") < e2_cmd.index("--resample-hz 8000 ")
+    c_cmd = [l for l in r.stdout.splitlines()
+             if l.startswith("== curriculum leg C_robust:")][0]
+    assert "--music-frac 0.0" not in c_cmd  # C keeps the full environment
     # the final leg's checkpoint is the full decode arch (sidecar says so)
     arch = json.load(open(os.path.join(out, "H2_tighten", "ckpt_best",
                                        "awm_arch.json")))
